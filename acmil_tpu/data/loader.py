@@ -1,0 +1,132 @@
+"""Bucketed bag loader with background prefetch.
+
+Replaces the reference's torch DataLoader over in-RAM dicts
+(`Step3_WSI_classification_ACMIL.py:129-135`). TPU-specific behaviour:
+
+- batches are grouped by bucketed pad length (see :func:`bags.bucket_plan`)
+  so XLA compiles one program per (B, N_pad) and padding waste stays <2x;
+- a background thread overlaps host HDF5 reads + collation with device
+  compute (double buffering; the reference used worker processes);
+- with a mesh, batches are placed with a ``NamedSharding`` over the data
+  axis so pjit'd steps consume them without a host gather. Ragged last
+  batches are padded to the device count with mask=False rows.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from acmil_tpu.data.bags import Bag, bucket_plan, collate_bags
+
+
+class BagLoader:
+    def __init__(
+        self,
+        source,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        min_bucket: int = 256,
+        max_patches: int = 65536,
+        seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        data_axis: str = "data",
+        prefetch: int = 2,
+        dtype=np.float32,
+    ):
+        self.source = source
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.min_bucket = min_bucket
+        self.max_patches = max_patches
+        self.rng = np.random.default_rng(seed)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.prefetch = prefetch
+        self.dtype = dtype
+        self._sharding = None
+        if mesh is not None:
+            self._sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(data_axis)
+            )
+
+    # -- batch plan ---------------------------------------------------------
+    def _plan(self) -> List[List[int]]:
+        lengths = self.source.lengths() if hasattr(self.source, "lengths") else [
+            len(self.source[i]["input"]) for i in range(len(self.source))
+        ]
+        groups = bucket_plan(lengths, self.batch_size, self.min_bucket, self.max_patches)
+        if self.drop_last:
+            groups = [g for g in groups if len(g) == self.batch_size]
+        if self.shuffle:
+            # bucketing already randomises composition within a bucket only
+            # weakly; shuffle group order every epoch (within-bucket order
+            # was fixed by the sort, so also shuffle members).
+            for g in groups:
+                self.rng.shuffle(g)
+            order = self.rng.permutation(len(groups))
+            groups = [groups[i] for i in order]
+        return groups
+
+    def __len__(self) -> int:
+        return len(self._plan())
+
+    # -- collation ----------------------------------------------------------
+    def _make_batch(self, idxs: List[int]) -> Bag:
+        items = [self.source[i] for i in idxs]
+        feats = [it["input"] for it in items]
+        coords = [it.get("coords") for it in items]
+        labels = [it["label"] for it in items]
+        # Pad ragged batches up to a full device batch so sharded shapes are
+        # static; padded rows get an all-False mask and label 0.
+        target_b = self.batch_size if self._sharding is not None else len(items)
+        while len(feats) < target_b:
+            feats.append(np.zeros_like(np.asarray(feats[0][:1])))
+            coords.append(None)
+            labels.append(0)
+        bag = collate_bags(feats, coords, labels, self.min_bucket, self.max_patches,
+                           dtype=self.dtype)
+        if len(items) < target_b:
+            mask = np.asarray(bag.mask)
+            mask[len(items):] = False
+            bag = bag.replace(mask=jax.numpy.asarray(mask))
+        if self._sharding is not None:
+            bag = jax.device_put(bag, self._sharding)
+        return bag
+
+    # -- iteration ----------------------------------------------------------
+    def __iter__(self) -> Iterator[Bag]:
+        groups = self._plan()
+        if self.prefetch <= 0:
+            for g in groups:
+                yield self._make_batch(g)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for g in groups:
+                    q.put(self._make_batch(g))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,81 @@
+"""Device mesh + sharding layout for MIL training.
+
+The reference has no distributed training at all (SURVEY.md §2.7 — vestigial
+``torch.distributed`` hooks in `utils/utils.py:92-103`, never initialised).
+The TPU design makes two axes first-class:
+
+- ``data``: batch-of-slides data parallelism. Parameters are replicated,
+  bags are sharded on the batch axis, and XLA turns the gradient sum into an
+  ICI all-reduce purely from sharding propagation — no explicit collectives
+  in model code.
+- ``seq``: bag-axis (sequence) parallelism for mega-bags (>100k patches).
+  Features are sharded along N_pad; masked-softmax reductions over N compile
+  to `psum`-style collectives automatically. MIL attention pooling is one
+  query row per branch, so the only cross-shard traffic is the softmax
+  normaliser and the weighted-sum partials — O(K·D) per step, negligible on
+  ICI.
+
+Multi-host pods: call :func:`init_distributed` first
+(``jax.distributed.initialize``), then ``make_mesh`` lays ``data`` over DCN
+x ICI and keeps ``seq`` inside a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up (the real version of the reference's vestigial
+    dist hooks). No-op when single-process."""
+    if jax.process_count() > 1 or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(data: Optional[int] = None, seq: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ``(data, seq)`` mesh. ``seq`` stays innermost so bag-axis
+    collectives ride the fastest ICI links."""
+    devs = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devs) // seq
+    assert data * seq <= len(devs), (data, seq, len(devs))
+    arr = np.asarray(devs[: data * seq]).reshape(data, seq)
+    return Mesh(arr, axis_names=("data", "seq"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def bag_sharding(mesh: Mesh, shard_seq: bool = False) -> "jax.tree_util.PyTreeDef":
+    """Shardings for a Bag pytree: batch on ``data``, optionally N on ``seq``."""
+    seq = "seq" if shard_seq else None
+    return {
+        "feats": NamedSharding(mesh, P("data", seq, None)),
+        "mask": NamedSharding(mesh, P("data", seq)),
+        "coords": NamedSharding(mesh, P("data", seq, None)),
+        "label": NamedSharding(mesh, P("data")),
+    }
+
+
+def shard_bag(bag, mesh: Mesh, shard_seq: bool = False):
+    sh = bag_sharding(mesh, shard_seq)
+    return bag.replace(
+        feats=jax.device_put(bag.feats, sh["feats"]),
+        mask=jax.device_put(bag.mask, sh["mask"]),
+        coords=jax.device_put(bag.coords, sh["coords"]),
+        label=jax.device_put(bag.label, sh["label"]),
+    )
+
+
+def shard_params(tree, mesh: Mesh):
+    """Replicate a parameter/opt-state pytree over the mesh. MIL heads are
+    tiny (≤ a few MB), so replication beats TP; encoder TP comes with the
+    Step2 engine."""
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)

@@ -1,0 +1,110 @@
+"""Engine tests: metrics golden values, schedules, and the end-to-end
+milestone — train ACMIL on synthetic separable bags and reach high AUC
+(SURVEY.md §7 minimum slice, stand-in for the Camelyon16 parity run)."""
+
+import jax
+import numpy as np
+import pytest
+
+from acmil_tpu.data.h5io import build_hdf5_feat_dataset, write_feature_h5
+from acmil_tpu.data.loader import BagLoader
+from acmil_tpu.engine.metrics import auroc, classification_metrics, f1_macro
+from acmil_tpu.engine.schedules import half_cosine_schedule
+from acmil_tpu.engine.train import (
+    create_train_state,
+    evaluate,
+    is_better,
+    make_eval_step,
+    make_train_step,
+    train_one_epoch,
+)
+from acmil_tpu.models import build_mil_model
+from tests.conftest import make_synthetic_bags
+
+
+def test_auroc_golden():
+    probs = np.array([[0.9, 0.1], [0.4, 0.6], [0.35, 0.65], [0.8, 0.2]])
+    labels = np.array([0, 1, 1, 0])
+    assert auroc(probs, labels) == 1.0
+    labels2 = np.array([1, 0, 1, 0])
+    assert auroc(probs, labels2) == 0.5
+
+
+def test_auroc_ties():
+    probs = np.array([[0.5, 0.5]] * 4)
+    labels = np.array([0, 1, 0, 1])
+    assert auroc(probs, labels) == 0.5
+
+
+def test_f1_macro_golden():
+    preds = np.array([0, 0, 1, 1, 1])
+    labels = np.array([0, 1, 1, 1, 0])
+    # class0: tp=1 fp=1 fn=1 -> 0.5 ; class1: tp=2 fp=1 fn=1 -> 2/3
+    np.testing.assert_allclose(f1_macro(preds, labels, 2), (0.5 + 2 / 3) / 2)
+
+
+def test_multiclass_auroc_macro():
+    rs = np.random.RandomState(0)
+    labels = rs.randint(0, 3, 300)
+    logits = rs.randn(300, 3)
+    logits[np.arange(300), labels] += 3.0
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    assert auroc(probs, labels) > 0.9
+
+
+def test_half_cosine_schedule():
+    sched = half_cosine_schedule(lr=1.0, min_lr=0.0, total_epochs=10,
+                                 warmup_epochs=2, steps_per_epoch=10)
+    assert float(sched(0)) == 0.0          # warmup start
+    np.testing.assert_allclose(float(sched(10)), 0.5, rtol=1e-6)  # mid-warmup
+    np.testing.assert_allclose(float(sched(20)), 1.0, rtol=1e-6)  # warmup end
+    np.testing.assert_allclose(float(sched(60)), 0.5, rtol=1e-6)  # cosine mid
+    assert float(sched(100)) < 1e-6
+
+
+def test_is_better():
+    assert is_better({"f1": 0.6, "auc": 0.8}, {})
+    assert not is_better({"f1": 0.5, "auc": 0.5}, {"f1": 0.6, "auc": 0.8})
+
+
+@pytest.mark.parametrize("arch", ["ga", "abmil"])
+def test_end_to_end_training(tmp_path, tiny_conf, arch):
+    """The minimum end-to-end slice: bags → model → jit train → AUC."""
+    slides = make_synthetic_bags(n_slides=40, d=32, seed=7)
+    path = str(tmp_path / "feats.h5")
+    write_feature_h5(path, slides)
+    tiny_conf.split_dir = str(tmp_path / "nosplits")
+    tiny_conf.arch = arch
+    tiny_conf.train_epoch = 8
+    tiny_conf.lr = 3e-3
+
+    train_src, val_src, test_src = build_hdf5_feat_dataset(path, tiny_conf)
+    train_loader = BagLoader(train_src, batch_size=2, shuffle=True,
+                             min_bucket=64, seed=0, prefetch=0)
+    test_loader = BagLoader(test_src, batch_size=2, min_bucket=64, prefetch=0)
+
+    model, family = build_mil_model(tiny_conf)
+    rng = jax.random.PRNGKey(tiny_conf.seed)
+    example = next(iter(train_loader))
+    state = create_train_state(model, tiny_conf, rng, example,
+                               steps_per_epoch=len(train_loader))
+    train_step = make_train_step(model, tiny_conf, family)
+    eval_step = make_eval_step(model)
+
+    first_loss = None
+    for epoch in range(tiny_conf.train_epoch):
+        state, stats = train_one_epoch(state, train_step, train_loader, rng, epoch)
+        if first_loss is None:
+            first_loss = stats["loss"]
+    assert stats["loss"] < first_loss  # learning happened
+
+    m = evaluate(state.params, eval_step, test_loader, tiny_conf.n_class)
+    assert m["auc"] > 0.85, m
+    assert set(m) >= {"acc", "auc", "f1", "loss"}
+
+
+def test_classification_metrics_keys():
+    probs = np.array([[0.7, 0.3], [0.2, 0.8]])
+    labels = np.array([0, 1])
+    m = classification_metrics(probs, labels)
+    assert m["acc"] == 1.0 and m["auc"] == 1.0 and m["f1"] == 1.0
