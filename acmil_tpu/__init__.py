@@ -14,3 +14,19 @@ attention heatmaps) plus the full MIL aggregator zoo, redesigned TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: bag buckets mean a handful of distinct
+# compiled programs per config; caching them makes every run after the first
+# start instantly (compiles cost 25-70s each through remote-compile tunnels).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "acmil_tpu", "xla")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # read-only FS or pre-initialised config: run without the cache
