@@ -6,9 +6,8 @@ from acmil_tpu.engine.train import (
     train_one_epoch,
     evaluate,
     is_better,
-    register_loss_adapter,
-    LOSS_ADAPTERS,
 )
+from acmil_tpu.engine.families import FAMILIES, Family, get_family, register_family
 from acmil_tpu.engine.metrics import classification_metrics, auroc, f1_macro, accuracy
 
 __all__ = [
@@ -19,8 +18,10 @@ __all__ = [
     "train_one_epoch",
     "evaluate",
     "is_better",
-    "register_loss_adapter",
-    "LOSS_ADAPTERS",
+    "FAMILIES",
+    "Family",
+    "get_family",
+    "register_family",
     "classification_metrics",
     "auroc",
     "f1_macro",

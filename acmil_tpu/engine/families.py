@@ -1,0 +1,159 @@
+"""Per-architecture training families.
+
+The reference dispatches losses with isinstance/arch-string chains inside
+`engine.py:143-154` and per-script loops. Here each family is a small
+strategy object: how to run the forward in training, how to turn outputs
+into a loss, and how to turn deterministic outputs into eval probabilities
+(`engine.py:175-197` — e.g. DSMIL averages instance-max and bag softmax).
+
+Families with genuinely different step structure (DTFD's two-tier/two-
+optimizer step, MHIM's EMA teacher) override ``make_train_step`` wholesale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from acmil_tpu.data.bags import Bag
+from acmil_tpu.engine import losses as L
+
+
+class Family:
+    """Default: model returns slide logits; loss = CE."""
+
+    name = "default"
+
+    def conf_dict(self, conf) -> Dict[str, Any]:
+        return {
+            "n_token": getattr(conf, "n_token", 1),
+            "n_class": conf.n_class,
+            "w_loss": float(getattr(conf, "w_loss", 0.7)),
+        }
+
+    # -- training forward ---------------------------------------------------
+    def train_outputs(self, apply_fn, params, bag: Bag, rngs, conf_d):
+        return apply_fn({"params": params}, bag.feats, bag.mask,
+                        deterministic=False, rngs=rngs)
+
+    # -- loss ---------------------------------------------------------------
+    def loss(self, outputs, bag: Bag, valid, conf_d):
+        logits = outputs["logits"] if isinstance(outputs, dict) else outputs
+        loss = L.cross_entropy(logits, bag.label, valid)
+        return loss, {"ce_loss": loss}
+
+    # -- eval ---------------------------------------------------------------
+    def eval_outputs(self, apply_fn, params, bag: Bag):
+        return apply_fn({"params": params}, bag.feats, bag.mask,
+                        deterministic=True)
+
+    def probs(self, outputs):
+        if isinstance(outputs, dict):
+            logits = outputs["logits"]
+        elif isinstance(outputs, tuple):
+            logits = outputs[1]  # (sub, slide, attn) convention
+        else:
+            logits = outputs
+        return jax.nn.softmax(logits, axis=-1)
+
+
+class ACMILFamily(Family):
+    """(sub, slide, attn) triple; branch CE + slide CE + diversity
+    (`Step3_WSI_classification_ACMIL.py:199-216`)."""
+
+    name = "acmil"
+
+    def loss(self, outputs, bag, valid, conf_d):
+        sub, slide, attn = outputs
+        return L.acmil_loss(sub, slide, attn, bag.label, bag.mask,
+                            conf_d["n_token"], valid)
+
+    def probs(self, outputs):
+        return jax.nn.softmax(outputs[1], axis=-1)
+
+
+class CLAMFamily(Family):
+    """Bag CE mixed with the instance clustering loss
+    (`engine.py:99-116`: ``w_loss * bag + (1 - w_loss) * instance``).
+    The model needs labels for in/out-of-class instance supervision."""
+
+    name = "clam"
+
+    def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
+        return apply_fn({"params": params}, bag.feats, bag.mask,
+                        label=bag.label, instance_eval=True,
+                        deterministic=False, rngs=rngs)
+
+    def loss(self, outputs, bag, valid, conf_d):
+        logits, inst_loss = outputs["logits"], outputs["instance_loss"]
+        bag_loss = L.cross_entropy(logits, bag.label, valid)
+        w = conf_d["w_loss"]
+        return w * bag_loss + (1 - w) * inst_loss, {
+            "bag_loss": bag_loss, "instance_loss": inst_loss}
+
+
+class DSMILFamily(Family):
+    """(inst_logits, bag_logits, attn): 0.5 CE(masked-max inst) + 0.5 CE(bag)
+    (`engine.py:41-56`); eval probs = mean of the two softmaxes
+    (`engine.py:176-182`)."""
+
+    name = "dsmil"
+
+    def _max_inst(self, outputs, bag):
+        from acmil_tpu.ops.masked import masked_max
+
+        inst, bag_logits, attn = outputs
+        return masked_max(inst, bag.mask, axis=1), bag_logits
+
+    def loss(self, outputs, bag, valid, conf_d):
+        max_preds, bag_logits = self._max_inst(outputs, bag)
+        loss = 0.5 * L.cross_entropy(max_preds, bag.label, valid) \
+            + 0.5 * L.cross_entropy(bag_logits, bag.label, valid)
+        return loss, {"ce_loss": loss}
+
+    def eval_outputs(self, apply_fn, params, bag):
+        out = apply_fn({"params": params}, bag.feats, bag.mask,
+                       deterministic=True)
+        return self._max_inst(out, bag)
+
+    def probs(self, outputs):
+        max_preds, bag_logits = outputs
+        return 0.5 * jax.nn.softmax(max_preds, -1) + 0.5 * jax.nn.softmax(bag_logits, -1)
+
+
+class BMILFamily(Family):
+    """CE + 1e-8 * model ARD KL + 1e-6 * data KL (`engine.py:74-96`).
+    The model returns its KL terms in the output dict."""
+
+    name = "bmil"
+
+    def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
+        return apply_fn({"params": params}, bag.feats, bag.mask,
+                        coords=bag.coords, label=bag.label,
+                        deterministic=False, rngs=rngs)
+
+    def loss(self, outputs, bag, valid, conf_d):
+        ce = L.cross_entropy(outputs["logits"], bag.label, valid)
+        loss = ce + 1e-8 * outputs["kl_model"] + 1e-6 * outputs["kl_data"]
+        return loss, {"ce_loss": ce, "kl_model": outputs["kl_model"],
+                      "kl_data": outputs["kl_data"]}
+
+    def eval_outputs(self, apply_fn, params, bag):
+        return apply_fn({"params": params}, bag.feats, bag.mask,
+                        coords=bag.coords, deterministic=True)
+
+
+FAMILIES: Dict[str, Family] = {
+    f.name: f for f in [Family(), ACMILFamily(), CLAMFamily(), DSMILFamily(),
+                        BMILFamily()]
+}
+
+
+def get_family(name: str) -> Family:
+    return FAMILIES[name]
+
+
+def register_family(family: Family) -> None:
+    FAMILIES[family.name] = family

@@ -32,48 +32,6 @@ class TrainState(train_state.TrainState):
 
 
 # ---------------------------------------------------------------------------
-# Loss adapters: family -> fn(outputs, bag, valid, conf_dict) -> (loss, aux)
-# ---------------------------------------------------------------------------
-
-def _acmil_adapter(outputs, bag: Bag, valid, conf: Dict[str, Any]):
-    sub, slide, attn = outputs
-    return L.acmil_loss(sub, slide, attn, bag.label, bag.mask,
-                        conf["n_token"], valid)
-
-
-def _default_adapter(outputs, bag: Bag, valid, conf: Dict[str, Any]):
-    logits = outputs["logits"] if isinstance(outputs, dict) else outputs
-    loss = L.cross_entropy(logits, bag.label, valid)
-    aux = {"loss": loss}
-    if isinstance(outputs, dict):
-        for k, v in outputs.items():
-            if k.endswith("_loss"):
-                w = conf.get(k + "_weight", 1.0)
-                loss = loss * conf.get("bag_loss_weight", 1.0) + w * v
-                aux[k] = v
-    return loss, aux
-
-
-LOSS_ADAPTERS: Dict[str, Callable] = {
-    "acmil": _acmil_adapter,
-    "default": _default_adapter,
-}
-
-
-def register_loss_adapter(name: str, fn: Callable) -> None:
-    LOSS_ADAPTERS[name] = fn
-
-
-def _slide_logits(outputs):
-    """Extract the slide-level logits from any family's output pytree."""
-    if isinstance(outputs, tuple):
-        return outputs[1]          # acmil: (sub, slide, attn)
-    if isinstance(outputs, dict):
-        return outputs["logits"]
-    return outputs
-
-
-# ---------------------------------------------------------------------------
 # Step builders
 # ---------------------------------------------------------------------------
 
@@ -98,25 +56,27 @@ def create_train_state(
     return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
 
 
-def make_train_step(model, conf, family: str = "acmil") -> Callable:
-    adapter = LOSS_ADAPTERS[family]
-    conf_d = {
-        "n_token": getattr(conf, "n_token", 1),
-        "n_class": conf.n_class,
-    }
+def _resolve_family(family):
+    from acmil_tpu.engine.families import Family, get_family
+
+    return get_family(family) if isinstance(family, str) else family
+
+
+def make_train_step(model, conf, family="acmil") -> Callable:
+    fam = _resolve_family(family)
+    if hasattr(fam, "make_train_step"):
+        return fam.make_train_step(model, conf)
+    conf_d = fam.conf_dict(conf)
 
     @jax.jit
     def step(state: TrainState, bag: Bag, rng: jax.Array):
         valid = bag.mask.any(axis=1)
         s_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        rngs = {"stkim": s_rng, "dropout": d_rng}
 
         def loss_fn(params):
-            outputs = state.apply_fn(
-                {"params": params}, bag.feats, bag.mask,
-                deterministic=False,
-                rngs={"stkim": s_rng, "dropout": d_rng},
-            )
-            return adapter(outputs, bag, valid, conf_d)
+            outputs = fam.train_outputs(state.apply_fn, params, bag, rngs, conf_d)
+            return fam.loss(outputs, bag, valid, conf_d)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
@@ -128,13 +88,13 @@ def make_train_step(model, conf, family: str = "acmil") -> Callable:
     return step
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, family="default") -> Callable:
+    fam = _resolve_family(family)
+
     @jax.jit
     def step(params, bag: Bag):
-        outputs = model.apply({"params": params}, bag.feats, bag.mask,
-                              deterministic=True)
-        logits = _slide_logits(outputs)
-        return jax.nn.softmax(logits, axis=-1)
+        outputs = fam.eval_outputs(model.apply, params, bag)
+        return fam.probs(outputs)
 
     return step
 

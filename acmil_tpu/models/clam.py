@@ -1,0 +1,151 @@
+"""CLAM-SB / CLAM-MB — attention MIL with instance-level clustering loss.
+
+Reference: `architecture/clam.py` (`CLAM_SB:85`, `CLAM_MB:211`,
+`inst_eval:128`, `inst_eval_out:147`). Loss mixing lives in the engine
+(`engine.py:99-116`).
+
+TPU-first reformulation of the instance loss: the reference's per-class
+Python branch on ``label == c`` (data-dependent control flow) becomes a
+one-hot-weighted sum over all classes — every class's in/out instance loss
+is computed on fixed shapes and gated by ``one_hot(label)``. Top-k /
+bottom-k selection uses masked ``lax.top_k`` gathers; bags shorter than
+``2*k_sample`` down-weight the invalid gathered slots instead of failing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acmil_tpu.models import register_model
+from acmil_tpu.models.common import AttnNet, AttnNetGated
+from acmil_tpu.ops.masked import NEG_INF, masked_fill, masked_softmax, softmax_one
+
+
+def _topk_gather(scores, h, mask, k):
+    """Gather features of the top-k valid scores. Returns (feats [B,k,L],
+    slot_valid [B,k])."""
+    s = masked_fill(scores, mask) if mask is not None else scores
+    _, idx = jax.lax.top_k(s, k)                               # [B, k]
+    feats = jnp.take_along_axis(h, idx[..., None], axis=1)     # [B, k, L]
+    if mask is None:
+        slot_valid = jnp.ones(idx.shape, bool)
+    else:
+        slot_valid = jnp.take_along_axis(mask, idx, axis=1)
+    return feats, slot_valid
+
+
+def _binary_ce(logits, target, slot_valid):
+    """Mean CE of 2-way instance logits vs constant target, ignoring
+    invalid gathered slots. logits [B,k,2]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -logp[..., target]
+    w = slot_valid.astype(nll.dtype)
+    return jnp.sum(nll * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)  # [B]
+
+
+class _CLAMBase(nn.Module):
+    n_class: int
+    d_inner: int = 128      # size[1]
+    d_attn: int = 128       # size[2] ("small": [D_feat, D_inner, 128])
+    k_sample: int = 8
+    gate: bool = True
+    droprate: float = 0.25
+    subtyping: Optional[bool] = None
+    multi_branch: bool = False
+
+    def _subtyping(self):
+        return self.n_class > 2 if self.subtyping is None else self.subtyping
+
+    @nn.compact
+    def __call__(self, feats, mask=None, label=None, instance_eval: bool = False,
+                 deterministic: bool = True, attention_only: bool = False):
+        B = feats.shape[0]
+        h = nn.relu(nn.Dense(self.d_inner)(feats))              # [B, N, L]
+        if self.droprate > 0:
+            h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
+        n_branch = self.n_class if self.multi_branch else 1
+        attn_cls = AttnNetGated if self.gate else AttnNet
+        a = attn_cls(self.d_attn, n_branch, self.droprate)(h, deterministic)  # [B, Kb, N]
+        if attention_only:
+            return a
+
+        m = None if mask is None else mask[:, None, :]
+        if self.multi_branch:
+            A = softmax_one(a, m)                               # clam.py:248
+        else:
+            A = masked_softmax(a, m)
+
+        M = jnp.einsum("bkn,bnd->bkd", A, h)                    # [B, Kb, L]
+        if self.multi_branch:
+            # per-class bag classifiers (clam.py:228-230): [C] heads of [L]->1
+            w = self.param("bag_w", nn.initializers.xavier_normal(),
+                           (self.n_class, self.d_inner))
+            b = self.param("bag_b", nn.initializers.zeros, (self.n_class,))
+            logits = jnp.einsum("bcd,cd->bc", M, w) + b
+        else:
+            logits = nn.Dense(self.n_class)(M[:, 0])
+
+        # per-class instance classifiers, stacked: [C, L, 2] — created
+        # unconditionally so init() without instance_eval still makes them
+        wc = self.param("inst_w", nn.initializers.xavier_normal(),
+                        (self.n_class, self.d_inner, 2))
+        bc = self.param("inst_b", nn.initializers.zeros, (self.n_class, 2))
+
+        out = {"logits": logits, "attn": a, "bag_feat": M}
+        if instance_eval:
+            out["instance_loss"] = self._instance_loss(A, h, mask, label, wc, bc)
+        return out
+
+    def _instance_loss(self, A, h, mask, label, wc, bc):
+        """Fixed-shape version of clam.py:128-157 + the forward's per-class
+        loop (clam.py:172-189)."""
+        assert label is not None, "instance_eval requires labels"
+        k = self.k_sample
+        onehot = jax.nn.one_hot(label, self.n_class)            # [B, C]
+        losses_in = []
+        losses_out = []
+        for c in range(self.n_class):
+            Ac = A[:, c] if self.multi_branch else A[:, 0]      # [B, N]
+            top_p, v_p = _topk_gather(Ac, h, mask, k)
+            top_n, v_n = _topk_gather(-Ac, h, mask, k)
+            logit_p = jnp.einsum("bkd,dt->bkt", top_p, wc[c]) + bc[c]
+            logit_n = jnp.einsum("bkd,dt->bkt", top_n, wc[c]) + bc[c]
+            # in-the-class: top-k → positive, bottom-k → negative
+            in_loss = 0.5 * (_binary_ce(logit_p, 1, v_p) + _binary_ce(logit_n, 0, v_n))
+            # out-of-class (subtyping): top-k → negative
+            out_loss = _binary_ce(logit_p, 0, v_p)
+            losses_in.append(in_loss)
+            losses_out.append(out_loss)
+        in_l = jnp.stack(losses_in, axis=-1)                    # [B, C]
+        out_l = jnp.stack(losses_out, axis=-1)
+        total = jnp.sum(onehot * in_l, axis=-1)
+        if self._subtyping():
+            total = (total + jnp.sum((1 - onehot) * out_l, axis=-1)) / self.n_class
+        return jnp.mean(total)
+
+
+class CLAM_SB(_CLAMBase):
+    """Single attention branch (`clam.py:85`)."""
+
+    multi_branch: bool = False
+
+
+class CLAM_MB(_CLAMBase):
+    """Per-class attention branches + per-class bag classifiers with
+    softmax_one normalisation (`clam.py:211-248`)."""
+
+    multi_branch: bool = True
+
+
+@register_model("clam_sb", family="clam")
+def _clam_sb(conf):
+    return CLAM_SB(n_class=conf.n_class, d_inner=conf.D_inner)
+
+
+@register_model("clam_mb", family="clam")
+def _clam_mb(conf):
+    return CLAM_MB(n_class=conf.n_class, d_inner=conf.D_inner)

@@ -1,0 +1,194 @@
+"""TransMIL — square-grid correlated MIL transformer.
+
+Reference: `architecture/transMIL.py` (`TransMIL:48`, `TransLayer:8`,
+`PPEG:31`) on top of vendored Nystrom attention.
+
+TPU-first differences:
+- bags are already padded to a power-of-two bucket N_pad, so the PPEG grid
+  is the static ``2^ceil(k/2) x 2^floor(k/2)`` factorisation of N_pad — no
+  data-dependent ⌈√N⌉ reshape (`transMIL.py:64-68`), no wrap-padding with
+  duplicated patches; padded slots are masked instead and re-zeroed after
+  every mixing block so convolutions can't leak garbage;
+- the reference's hardcoded ``.cuda()`` (`transMIL.py:71`) is gone (SURVEY
+  §7 known-bugs list);
+- masking is threaded through Nystrom attention (the reference passes no
+  mask at all and lets duplicated patches attend).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acmil_tpu.models import register_model
+from acmil_tpu.ops.nystrom import depthwise_seq_conv, nystrom_attention
+
+
+class NystromAttention(nn.Module):
+    """Flax wrapper: qkv projection + masked nystrom core + value-conv
+    residual + output projection (`nystrom_attention.py:30-149`)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_attn_rows: int = 0):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        m = min(self.num_landmarks, n)
+
+        # front-pad to a multiple of m (reference pads at the front so the
+        # trailing n positions are the real sequence)
+        pad = (-n) % m
+        if pad:
+            x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (pad, 0)))
+            else:
+                mask = jnp.pad(jnp.ones((b, n), bool), ((0, 0), (pad, 0)))
+
+        qkv = nn.Dense(inner * 3, use_bias=False)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, t.shape[1], h, dh).transpose(0, 2, 1, 3)
+
+        q = heads_first(q) * (dh ** -0.5)
+        k = heads_first(k)
+        v = heads_first(v)
+
+        out, attn_rows = nystrom_attention(
+            q, k, v, mask, m, self.pinv_iterations,
+            return_attn_rows=return_attn_rows, attn_row_offset=pad)
+
+        if self.residual:
+            w = self.param("res_conv", nn.initializers.lecun_normal(),
+                           (h, self.residual_conv_kernel))
+            out = out + depthwise_seq_conv(v, w)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
+        out = nn.Dense(self.dim)(out)
+        out = nn.Dropout(self.droprate)(out, deterministic=deterministic)
+        out = out[:, -n:]
+        if return_attn_rows:
+            return out, attn_rows[:, :, -n:]
+        return out
+
+
+class TransLayer(nn.Module):
+    """Pre-norm Nystrom block with residual (`transMIL.py:8-28`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_attn_rows: int = 0):
+        attn = NystromAttention(
+            dim=self.dim, dim_head=self.dim // 8, heads=8,
+            num_landmarks=self.dim // 2, pinv_iterations=6,
+            residual=True, droprate=0.1)
+        y = nn.LayerNorm()(x)
+        if return_attn_rows:
+            y, rows = attn(y, mask, deterministic, return_attn_rows)
+            return x + y, rows
+        return x + attn(y, mask, deterministic)
+
+
+class PPEG(nn.Module):
+    """Pyramid position encoding: 3 depthwise convs (7/5/3) over the
+    square-grid view of the bag, cls token passed through
+    (`transMIL.py:31-46`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, grid_h: int, grid_w: int):
+        b, _, c = x.shape
+        cls_tok, feat = x[:, :1], x[:, 1:]
+        img = feat.transpose(0, 2, 1).reshape(b, c, grid_h, grid_w)
+
+        def dwconv(t, ksize, name):
+            w = self.param(name, nn.initializers.lecun_normal(),
+                           (c, 1, ksize, ksize))
+            return jax.lax.conv_general_dilated(
+                t, w.astype(t.dtype), (1, 1),
+                ((ksize // 2, ksize // 2), (ksize // 2, ksize // 2)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=c)
+
+        img = img + dwconv(img, 7, "proj7") + dwconv(img, 5, "proj5") \
+            + dwconv(img, 3, "proj3")
+        feat = img.reshape(b, c, -1).transpose(0, 2, 1)
+        return jnp.concatenate([cls_tok, feat], axis=1)
+
+
+def _grid_shape(n: int):
+    """Static near-square factorisation of the padded bag length."""
+    k = int(math.ceil(math.log2(max(n, 1))))
+    if 2 ** k != n:
+        # non-power-of-two bucket: fall back to ceil-sqrt grid with pad
+        g = int(math.ceil(math.sqrt(n)))
+        return g, g
+    return 2 ** ((k + 1) // 2), 2 ** (k // 2)
+
+
+class TransMIL(nn.Module):
+    n_class: int
+    d_inner: int = 512
+
+    @nn.compact
+    def __call__(self, feats, mask=None, deterministic: bool = True,
+                 return_attn: bool = False):
+        b, n, _ = feats.shape
+        h = nn.relu(nn.Dense(self.d_inner)(feats))               # [B, N, L]
+        gh, gw = _grid_shape(n)
+        grid_n = gh * gw
+        if grid_n > n:  # pad to fill the grid (masked slots)
+            h = jnp.pad(h, ((0, 0), (0, grid_n - n), (0, 0)))
+            mask = jnp.pad(mask if mask is not None else jnp.ones((b, n), bool),
+                           ((0, 0), (0, grid_n - n)))
+        if mask is not None:
+            h = h * mask[..., None].astype(h.dtype)
+
+        cls_tok = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, self.d_inner))
+        h = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, self.d_inner)), h],
+                            axis=1)
+        full_mask = None
+        if mask is not None:
+            full_mask = jnp.concatenate(
+                [jnp.ones((b, 1), bool), mask], axis=1)
+
+        def rezero(t):
+            return t * full_mask[..., None].astype(t.dtype) if full_mask is not None else t
+
+        h = rezero(TransLayer(self.d_inner)(h, full_mask, deterministic))
+        h = rezero(PPEG(self.d_inner)(h, gh, gw))
+        if return_attn:
+            h, rows = TransLayer(self.d_inner)(h, full_mask, deterministic,
+                                               return_attn_rows=1)
+        else:
+            h = TransLayer(self.d_inner)(h, full_mask, deterministic)
+        cls_out = nn.LayerNorm()(h[:, 0])
+        logits = nn.Dense(self.n_class)(cls_out)
+        if return_attn:
+            # cls-token attention over patches (drop cls column), for Step4
+            return logits, rows[:, 0, 1:1 + n]
+        return logits
+
+
+@register_model("transmil")
+def _transmil(conf):
+    return TransMIL(n_class=conf.n_class, d_inner=conf.D_inner)
