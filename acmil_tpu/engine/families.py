@@ -125,14 +125,25 @@ class DSMILFamily(Family):
 
 class BMILFamily(Family):
     """CE + 1e-8 * model ARD KL + 1e-6 * data KL (`engine.py:74-96`).
-    The model returns its KL terms in the output dict."""
+    The data KL comes back in the output dict; the model (ARD) KL is sown
+    by each LinearVDO into the 'kl' collection (the jit-able version of
+    `get_ard_reg_vdo`'s module traversal, `bmil.py:446`)."""
 
     name = "bmil"
 
+    def _merge_kl(self, out_and_vars):
+        out, muts = out_and_vars
+        kl_leaves = jax.tree_util.tree_leaves(muts.get("kl", {}))
+        if kl_leaves:
+            out = dict(out)
+            out["kl_model"] = sum(kl_leaves)
+        return out
+
     def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
-        return apply_fn({"params": params}, bag.feats, bag.mask,
-                        coords=bag.coords, label=bag.label,
-                        deterministic=False, rngs=rngs)
+        return self._merge_kl(apply_fn(
+            {"params": params}, bag.feats, bag.mask,
+            coords=bag.coords, label=bag.label,
+            deterministic=False, rngs=rngs, mutable=["kl"]))
 
     def loss(self, outputs, bag, valid, conf_d):
         ce = L.cross_entropy(outputs["logits"], bag.label, valid)
@@ -141,8 +152,9 @@ class BMILFamily(Family):
                       "kl_data": outputs["kl_data"]}
 
     def eval_outputs(self, apply_fn, params, bag):
-        return apply_fn({"params": params}, bag.feats, bag.mask,
-                        coords=bag.coords, deterministic=True)
+        return self._merge_kl(apply_fn(
+            {"params": params}, bag.feats, bag.mask,
+            coords=bag.coords, deterministic=True, mutable=["kl"]))
 
 
 FAMILIES: Dict[str, Family] = {

@@ -35,6 +35,13 @@ class TrainState(train_state.TrainState):
 # Step builders
 # ---------------------------------------------------------------------------
 
+class EMATrainState(TrainState):
+    """TrainState carrying an EMA teacher copy (MHIM: `Step3_MHIM:358-375`,
+    `ema_update` `utils/utils.py:604`)."""
+
+    teacher_params: Any = None
+
+
 def create_train_state(
     model,
     conf,
@@ -42,6 +49,7 @@ def create_train_state(
     example_bag: Bag,
     steps_per_epoch: int,
     grad_clip: Optional[float] = None,
+    family=None,
 ) -> TrainState:
     p_rng, s_rng, d_rng = jax.random.split(rng, 3)
     variables = model.init(
@@ -51,8 +59,15 @@ def create_train_state(
     sched = half_cosine_schedule(conf.lr, conf.min_lr, conf.train_epoch,
                                  conf.warmup_epoch, steps_per_epoch)
     tx = optax.adamw(sched, weight_decay=conf.wd)
+    if grad_clip is None:
+        grad_clip = getattr(conf, "grad_clipping", None)
     if grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    fam_name = getattr(_resolve_family(family), "name", None) if family else None
+    if fam_name == "mhim":
+        return EMATrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            teacher_params=jax.tree_util.tree_map(jnp.copy, variables["params"]))
     return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
 
 

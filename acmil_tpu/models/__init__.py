@@ -71,6 +71,7 @@ def available_archs():
 
 
 _EXTRA_MODULES = [
+    "acmil_tpu.models.attmil",
     "acmil_tpu.models.mean_max",
     "acmil_tpu.models.clam",
     "acmil_tpu.models.dsmil",

@@ -1,0 +1,61 @@
+"""attmil — attention-MIL variants with a 1024→512 feature stem.
+
+Reference: `architecture/attmil.py` (`AttentionGated:45`, `DAttention:100`;
+the `Resnet:17` end-to-end variant lives with the encoders, see
+`acmil_tpu.models.encoders`). These are the heads used for end-to-end
+patch pipelines; the stem dims follow the config instead of the
+reference's hardcoded 1024→512.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from acmil_tpu.models import register_model
+from acmil_tpu.ops.masked import masked_softmax
+
+
+class DAttentionMIL(nn.Module):
+    """Feature stem + (optionally gated) attention pooling + classifier
+    (`attmil.py:100-143`)."""
+
+    n_class: int
+    d_stem: int = 512
+    d_attn: int = 128
+    gated: bool = False
+    act: str = "relu"
+    droprate: float = 0.25
+
+    @nn.compact
+    def __call__(self, feats, mask=None, deterministic: bool = True,
+                 return_attn: bool = False):
+        h = nn.Dense(self.d_stem)(feats)
+        h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
+        if self.droprate > 0:
+            h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
+
+        if self.gated:
+            a_t = jnp.tanh(nn.Dense(self.d_attn, use_bias=False)(h)) \
+                if self.act == "tanh" else nn.relu(nn.Dense(self.d_attn, use_bias=False)(h))
+            b_s = nn.sigmoid(nn.Dense(self.d_attn, use_bias=False)(h))
+            a = nn.Dense(1, use_bias=False)(a_t * b_s)
+        else:
+            a = nn.Dense(1)(jnp.tanh(nn.Dense(self.d_attn)(h)))
+        a = jnp.swapaxes(a, -1, -2)                              # [B,1,N]
+        attn = masked_softmax(a, None if mask is None else mask[:, None, :])
+        m = jnp.einsum("bkn,bnd->bkd", attn, h)[:, 0]
+        logits = nn.Dense(self.n_class)(m)
+        if return_attn:
+            return logits, a
+        return logits
+
+
+@register_model("attmil")
+def _attmil(conf):
+    return DAttentionMIL(n_class=conf.n_class)
+
+
+@register_model("attmil_gated")
+def _attmil_gated(conf):
+    return DAttentionMIL(n_class=conf.n_class, gated=True)

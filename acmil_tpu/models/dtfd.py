@@ -1,0 +1,176 @@
+"""DTFD-MIL — two-tier pseudo-bag MIL with instance distillation.
+
+Reference: `Step3_WSI_classification_DTFD.py:61-160` (training loop) and
+`architecture/Attention.py` (`Attention_Gated:29`,
+`Attention_with_Classifier:62`); CAM trick `utils/utils.py:48`.
+
+Algorithm per slide: randomly partition the bag into ``num_group``
+pseudo-bags; tier-1 = gated-attention pooling + classifier per pseudo-bag
+(CE vs the slide label); distill per-group instances by per-patch CAM
+logits (MaxMinS = top-k + bottom-k features, MaxS = top-k, AFS =
+attention-pooled feature); tier-2 = gated-attention classifier over the
+distilled features (CE vs slide label).
+
+TPU-first reformulation (SURVEY.md §7 hard parts):
+- the random ``randperm`` + ``tensor_split`` becomes one fixed-shape
+  argsort-of-uniforms permutation reshaped to ``[G, N/G]``; padded slots
+  ride along with mask=False and land uniformly across groups, matching
+  the reference's uniform assignment of real patches in expectation;
+- the reference's two optimizers + ``retain_graph`` backward become a
+  single jit step: tier-2 consumes ``stop_gradient``'d distilled features,
+  so tier-1 params receive gradients only from the tier-1 loss and the
+  tier-2 head only from the tier-2 loss — exactly the reference's update
+  (tier-2 gradients into tier-1 params were zeroed before ever stepping);
+- eval pseudo-bags use a deterministic fold of the bag as "rng"
+  (the reference re-randomises at every eval, making metrics stochastic).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acmil_tpu.engine.families import Family, register_family
+from acmil_tpu.engine import losses as L
+from acmil_tpu.models import register_model
+from acmil_tpu.models.common import AttentionGated, Classifier1fc, DimReduction
+from acmil_tpu.ops.masked import masked_fill, masked_softmax
+
+
+def _group_permutation(rng, mask, num_group):
+    """[B, N] -> group member indices [B, G, N/G] + gathered validity."""
+    b, n = mask.shape
+    assert n % num_group == 0, (n, num_group)
+    u = jax.random.uniform(rng, (b, n))
+    perm = jnp.argsort(u, axis=-1)                              # [B, N]
+    groups = perm.reshape(b, num_group, n // num_group)
+    gmask = jnp.take_along_axis(mask[:, None, :].repeat(num_group, 1),
+                                groups, axis=-1)
+    return groups, gmask
+
+
+class DTFD(nn.Module):
+    """Single module holding both tiers (reference keeps 4 separate
+    nn.Modules wired through the script)."""
+
+    n_class: int
+    d_inner: int = 128
+    d_attn: int = 128
+    num_group: int = 4
+    instance_per_group: int = 1
+    distill: str = "MaxMinS"
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, feats, mask=None, deterministic: bool = True,
+                 rng: Optional[jax.Array] = None):
+        b, n, _ = feats.shape
+        g = self.num_group
+        if mask is None:
+            mask = jnp.ones((b, n), bool)
+
+        if rng is None:
+            if not deterministic:
+                rng = self.make_rng("stkim")  # shared stochastic-ops stream
+            else:
+                rng = jax.random.PRNGKey(0)  # deterministic eval grouping
+
+        mid = DimReduction(self.d_inner)(feats)                  # [B, N, L]
+        attn_net = AttentionGated(self.d_attn, 1)
+
+        groups, gmask = _group_permutation(rng, mask, g)         # [B,G,S]
+        s = groups.shape[-1]
+        gfeat = jnp.take_along_axis(mid[:, None].repeat(g, 1),
+                                    groups[..., None], axis=2)   # [B,G,S,L]
+
+        a = attn_net(gfeat.reshape(b * g, s, -1)).reshape(b, g, s)  # logits
+        attn = masked_softmax(a, gmask)                          # [B,G,S]
+        att_feats = gfeat * attn[..., None]                      # [B,G,S,L]
+        pooled = att_feats.sum(axis=2)                           # [B,G,L]
+
+        # tier-1 classifier, kernel exposed for the CAM trick
+        w1 = self.param("tier1_w", nn.initializers.lecun_normal(),
+                        (self.d_inner, self.n_class))
+        b1 = self.param("tier1_b", nn.initializers.zeros, (self.n_class,))
+        sub_preds = pooled @ w1 + b1                             # [B,G,C]
+
+        # CAM per-patch logits: attn-weighted feats @ classifier weight,
+        # NO bias (get_cam_1d, utils.py:48)
+        cam = att_feats @ w1                                     # [B,G,S,C]
+        patch_prob = jax.nn.softmax(cam, axis=-1)[..., -1]       # [B,G,S]
+
+        k = min(self.instance_per_group, s)
+        score = masked_fill(patch_prob, gmask)
+        _, top_idx = jax.lax.top_k(score, k)                     # [B,G,k]
+        neg_score = masked_fill(-patch_prob, gmask)
+        _, bot_idx = jax.lax.top_k(neg_score, k)
+
+        def gather_feats(idx):
+            return jnp.take_along_axis(gfeat, idx[..., None], axis=2)
+
+        def gather_mask(idx):
+            return jnp.take_along_axis(gmask, idx, axis=2)
+
+        if self.distill == "MaxMinS":
+            d_idx = jnp.concatenate([top_idx, bot_idx], axis=-1)
+            d_feat = gather_feats(d_idx).reshape(b, g * 2 * k, -1)
+            d_mask = gather_mask(d_idx).reshape(b, g * 2 * k)
+        elif self.distill == "MaxS":
+            d_feat = gather_feats(top_idx).reshape(b, g * k, -1)
+            d_mask = gather_mask(top_idx).reshape(b, g * k)
+        else:  # AFS: the attention-pooled feature per group
+            d_feat = pooled
+            d_mask = gmask.any(axis=-1)
+
+        # tier-2: gated attention + classifier over stop-gradient features
+        # (Attention_with_Classifier, Attention.py:62)
+        d_feat = jax.lax.stop_gradient(d_feat)
+        a2 = AttentionGated(self.d_attn, 1)(d_feat)              # [B,1,M]
+        attn2 = masked_softmax(a2, d_mask[:, None, :])
+        slide_feat = jnp.einsum("bkm,bml->bkl", attn2, d_feat)[:, 0]
+        slide_preds = Classifier1fc(self.n_class, self.droprate)(
+            slide_feat, deterministic)
+
+        return {
+            "logits": slide_preds,                               # tier-2
+            "sub_preds": sub_preds,                              # [B,G,C]
+            "group_valid": gmask.any(axis=-1),                   # [B,G]
+            "attn": masked_fill(a, gmask),                       # [B,G,S]
+        }
+
+
+class DTFDFamily(Family):
+    """loss = CE(tier-1 per-group) stepped on tier-1 params +
+    CE(tier-2) on the tier-2 head (`Step3_DTFD:131-148`); eval prob =
+    softmax(tier-2) (`Step3_DTFD:222-226`)."""
+
+    name = "dtfd"
+
+    def loss(self, outputs, bag, valid, conf_d):
+        sub = outputs["sub_preds"]                               # [B,G,C]
+        b, g, c = sub.shape
+        gvalid = outputs["group_valid"] & valid[:, None]
+        loss0 = L.cross_entropy(sub.reshape(b * g, c),
+                                jnp.repeat(bag.label, g),
+                                gvalid.reshape(b * g))
+        loss1 = L.cross_entropy(outputs["logits"], bag.label, valid)
+        return loss0 + loss1, {"loss0": loss0, "loss1": loss1}
+
+
+register_family(DTFDFamily())
+
+
+@register_model("dtfd", family="dtfd")
+def _dtfd(conf):
+    num_group = int(getattr(conf, "numGroup", 4))
+    total_instance = int(getattr(conf, "total_instance", 4))
+    return DTFD(
+        n_class=conf.n_class,
+        d_inner=conf.D_inner,
+        num_group=num_group,
+        instance_per_group=max(1, total_instance // num_group),
+        distill=str(getattr(conf, "distill", "MaxMinS")),
+    )

@@ -1,0 +1,132 @@
+"""ILRA — low-rank attention MIL (ICLR'23).
+
+Reference: `architecture/ilra.py` (`MultiHeadAttention:25`, `GAB:67`,
+`NLP:94`, `ILRA:112`). GAB blocks route the bag through a tiny learned
+latent (num_inds tokens): forward-project bag → latent, backward-project
+latent → bag — O(N·r) instead of O(N²). NLP pools with learned seed
+queries.
+
+The reference leans on ``nn.MultiheadAttention``; here attention is an
+explicit masked einsum (bag-side keys respect the validity mask; latent
+tokens are always valid). Gating (SiLU of the query input) matches
+``gated=True`` (`ilra.py:43-45,62`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acmil_tpu.models import register_model
+from acmil_tpu.ops.masked import masked_softmax
+
+
+class _MHA(nn.Module):
+    """Pre-projection MHA with residual, LN, relu-FFN residual, optional
+    gate — `ilra.py:25-64`."""
+
+    dim_v: int
+    num_heads: int
+    ln: bool = True
+    gated: bool = False
+
+    @nn.compact
+    def __call__(self, q_in, k_in, key_mask=None):
+        h = self.num_heads
+        dh = self.dim_v // h
+        B, Nq, _ = q_in.shape
+        Nk = k_in.shape[1]
+
+        q = nn.Dense(self.dim_v)(q_in)
+        k = nn.Dense(self.dim_v)(k_in)
+        v = nn.Dense(self.dim_v)(k_in)
+
+        def split(t, n):
+            return t.reshape(B, n, h, dh).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", split(q, Nq), split(k, Nk))
+        logits = logits / jnp.sqrt(jnp.asarray(dh, q.dtype))
+        m = None if key_mask is None else key_mask[:, None, None, :]
+        attn = masked_softmax(logits, m)
+        a = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v, Nk))
+        a = a.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim_v)
+        # torch nn.MultiheadAttention applies an output projection
+        a = nn.Dense(self.dim_v)(a)
+
+        o = q + a
+        if self.ln:
+            o = nn.LayerNorm()(o)
+        o = o + nn.relu(nn.Dense(self.dim_v)(o))
+        if self.ln:
+            o = nn.LayerNorm()(o)
+        if self.gated:
+            o = o * nn.silu(nn.Dense(self.dim_v)(q_in))
+        return o
+
+
+class GAB(nn.Module):
+    """Low-rank global attention block (`ilra.py:67-92`)."""
+
+    dim_out: int
+    num_heads: int
+    num_inds: int
+    ln: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B = x.shape[0]
+        latent = self.param("latent", nn.initializers.xavier_uniform(),
+                            (1, self.num_inds, self.dim_out))
+        latent = jnp.broadcast_to(latent, (B, self.num_inds, self.dim_out))
+        h = _MHA(self.dim_out, self.num_heads, self.ln, gated=True)(
+            latent, x, mask)                     # bag -> latent
+        x_hat = _MHA(self.dim_out, self.num_heads, self.ln, gated=True)(
+            x, h, None)                          # latent -> bag
+        return x_hat
+
+
+class NLP(nn.Module):
+    """Non-local pooling with learned seeds (`ilra.py:94-107`)."""
+
+    dim: int
+    num_heads: int
+    num_seeds: int
+    ln: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B = x.shape[0]
+        s = self.param("seeds", nn.initializers.xavier_uniform(),
+                       (1, self.num_seeds, self.dim))
+        s = jnp.broadcast_to(s, (B, self.num_seeds, self.dim))
+        return _MHA(self.dim, self.num_heads, self.ln)(s, x, mask)
+
+
+class ILRA(nn.Module):
+    n_class: int
+    num_layers: int = 2
+    hidden_feat: int = 256
+    num_heads: int = 8
+    topk: int = 1
+    ln: bool = True
+
+    @nn.compact
+    def __call__(self, feats, mask=None, deterministic: bool = True):
+        x = feats
+        for i in range(self.num_layers):
+            # after the first block the bag lives in hidden_feat dims; the
+            # mask still marks which rows are real
+            x = GAB(self.hidden_feat, self.num_heads, self.topk, self.ln)(
+                x, mask)
+        pooled = NLP(self.hidden_feat, self.num_heads, self.topk, self.ln)(
+            x, mask)                              # [B, topk, H]
+        logits = nn.Dense(self.n_class)(pooled[:, 0])
+        return logits
+
+
+@register_model("ilra")
+def _ilra(conf):
+    return ILRA(n_class=conf.n_class)

@@ -1,0 +1,332 @@
+"""MHIM — masked hard instance mining with an EMA teacher.
+
+Reference: `modules/mhim.py` (`MHIM:36`, `select_mask_fn:79`,
+`get_mask:139`), `modules/satten.py` (`SAttention:30` — 2-layer Nystrom
+transformer with cls token + PPEG), `modules/datten.py` (`DAttention:85`),
+training loop `Step3_WSI_classification_MHIM.py:97-161` (teacher forward,
+EMA update `utils/utils.py:604`, cosine mm/mask-ratio schedules
+`utils/utils.py:529`).
+
+TPU-first reformulation of the masking machinery (SURVEY.md §7):
+the reference shrinks the sequence MAE-style (topk → set-difference →
+gather to a dynamic ``len_keep`` prefix, `modules/mhim.py:120-137` +
+`satten.py:53-74`) — all dynamic shapes. Here every mask is a boolean
+compose over the static padded bag:
+
+- *rank trick*: "drop ceil(ps·r) patches by score" becomes
+  ``rank(score) < ps·r`` where ``rank`` is argsort-of-argsort and ``ps``
+  is the (traced) valid count — no data-dependent shapes anywhere;
+- random masking = rank over iid uniforms; low/high-attention masking =
+  rank over teacher attention; the high-attention random subset
+  (``mask_ratio_hr``) re-ranks inside the selected set by fresh noise;
+- multi-head 'vote' fusion (`mhim.py:101-113`) = per-head top-k
+  indicators summed, then ranked.
+
+Because encoders are mask-aware, clearing a patch's mask bit is exactly
+the reference's "remove it from the sequence".
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acmil_tpu.engine.families import Family, register_family
+from acmil_tpu.engine import losses as L
+from acmil_tpu.models import register_model
+from acmil_tpu.models.common import AttentionGated, AttnNet
+from acmil_tpu.models.transmil import PPEG, TransLayer, _grid_shape
+from acmil_tpu.ops.masked import masked_fill, masked_softmax
+
+
+# ---------------------------------------------------------------------------
+# rank-based masking
+# ---------------------------------------------------------------------------
+
+def _rank(scores: jnp.ndarray, valid: jnp.ndarray, largest: bool) -> jnp.ndarray:
+    """Dense rank (0 = best) of valid entries along the last axis; invalid
+    entries rank worst."""
+    s = jnp.where(valid, scores, -jnp.inf if largest else jnp.inf)
+    order = jnp.argsort(-s if largest else s, axis=-1)
+    rank = jnp.argsort(order, axis=-1)
+    return rank
+
+
+def select_drop_mask(scores, valid, frac, largest, rng=None, random_frac=1.0):
+    """Boolean drop-mask over the bag: the top (or bottom) ``ceil(ps*frac)``
+    scored valid patches — optionally only a random ``random_frac`` subset
+    of a ``frac/random_frac``-sized candidate set (`select_mask_fn`,
+    `modules/mhim.py:79-120`)."""
+    ps = valid.sum(axis=-1, keepdims=True).astype(jnp.float32)
+    if random_frac >= 1.0:
+        k = jnp.ceil(ps * frac)
+        rank = _rank(scores, valid, largest)
+        return (rank < k) & valid
+    # candidate set of size ceil(ps * frac / random_frac), clamped to ps
+    cand_frac = jnp.minimum(frac / max(random_frac, 1e-8), 1.0)
+    k_cand = jnp.ceil(ps * cand_frac)
+    cand = (_rank(scores, valid, largest) < k_cand) & valid
+    # drop a random subset of ceil(ps * frac) inside the candidates
+    noise = jax.random.uniform(rng, scores.shape)
+    k_drop = jnp.ceil(ps * frac)
+    nrank = _rank(noise, cand, largest=False)
+    return (nrank < k_drop) & cand
+
+
+def fuse_heads_vote(attn: jnp.ndarray, valid: jnp.ndarray, frac: float) -> jnp.ndarray:
+    """'vote' MSA fusion (`mhim.py:101-113`): each head nominates its
+    top-k; patches are scored by vote count."""
+    ps = valid.sum(axis=-1, keepdims=True).astype(jnp.float32)[:, None]
+    k = jnp.ceil(ps * frac)
+    rank_h = _rank(attn, valid[:, None, :], largest=True)       # [B,H,N]
+    votes = (rank_h < k).sum(axis=1).astype(jnp.float32)        # [B,N]
+    return votes
+
+
+# ---------------------------------------------------------------------------
+# encoders
+# ---------------------------------------------------------------------------
+
+class SAttentionEncoder(nn.Module):
+    """2-layer Nystrom transformer encoder with cls token + PPEG
+    (`modules/satten.py:30-122`). Returns (cls_feat, per-layer cls
+    attention [2][B, N])."""
+
+    dim: int = 512
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_attn: bool = False):
+        b, n, _ = x.shape
+        gh, gw = _grid_shape(n)
+        grid_n = gh * gw
+        if mask is None:
+            mask = jnp.ones((b, n), bool)
+        if grid_n > n:
+            x = jnp.pad(x, ((0, 0), (0, grid_n - n), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, grid_n - n)))
+        x = x * mask[..., None].astype(x.dtype)
+
+        cls_tok = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, self.dim))
+        h = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, self.dim)), x], 1)
+        fmask = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
+
+        def rezero(t):
+            return t * fmask[..., None].astype(t.dtype)
+
+        attns = []
+        if return_attn:
+            h, a1 = TransLayer(self.dim)(h, fmask, deterministic,
+                                         return_attn_rows=1)
+            attns.append(a1[:, 0, 1:1 + n])
+        else:
+            h = TransLayer(self.dim)(h, fmask, deterministic)
+        h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
+        if return_attn:
+            h, a2 = TransLayer(self.dim)(h, fmask, deterministic,
+                                         return_attn_rows=1)
+            attns.append(a2[:, 0, 1:1 + n])
+        else:
+            h = TransLayer(self.dim)(h, fmask, deterministic)
+        cls_feat = nn.LayerNorm()(h[:, 0])
+        if return_attn:
+            return cls_feat, attns
+        return cls_feat
+
+
+class DAttentionEncoder(nn.Module):
+    """Gated/plain attention pooling encoder (`modules/datten.py:85`)."""
+
+    dim: int = 512
+    gated: bool = True
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_attn: bool = False):
+        cls = AttentionGated(128, 1) if self.gated else AttnNet(128, 1)
+        a = cls(x)                                              # [B,1,N]
+        attn = masked_softmax(a, None if mask is None else mask[:, None, :])
+        pooled = jnp.einsum("bkn,bnd->bkd", attn, x)[:, 0]
+        if return_attn:
+            return pooled, [a[:, 0]]
+        return pooled
+
+
+class MHIM(nn.Module):
+    """Student/teacher-shared MHIM network (`modules/mhim.py:36`)."""
+
+    n_class: int
+    mlp_dim: int = 512
+    baseline: str = "selfattn"      # selfattn | attn
+    act: str = "relu"
+    droprate: float = 0.25
+    mask_ratio: float = 0.0         # random
+    mask_ratio_l: float = 0.0       # low-attention
+    mask_ratio_h: float = 0.0       # high-attention
+    mask_ratio_hr: float = 1.0      # random subset of high-attention
+    attn_layer: int = 0
+    msa_fusion: str = "vote"
+    heads: int = 8
+
+    def _embed(self, feats, deterministic):
+        h = nn.Dense(self.mlp_dim)(feats)
+        h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
+        return nn.Dropout(self.droprate)(h, deterministic=deterministic)
+
+    def _encoder(self):
+        if self.baseline == "selfattn":
+            return SAttentionEncoder(self.mlp_dim, self.heads)
+        return DAttentionEncoder(self.mlp_dim)
+
+    @nn.compact
+    def __call__(self, feats, mask=None, deterministic: bool = True,
+                 teacher_attn: Optional[jnp.ndarray] = None,
+                 mask_ratio_h: Optional[jnp.ndarray] = None,
+                 return_attn: bool = False):
+        """Student forward: compose drop masks from teacher attention, then
+        encode with the reduced mask (`modules/mhim.py:250-271`)."""
+        b, n, _ = feats.shape
+        if mask is None:
+            mask = jnp.ones((b, n), bool)
+        h = self._embed(feats, deterministic)
+
+        keep = mask
+        if not deterministic:
+            r1, r2, r3 = jax.random.split(self.make_rng("stkim"), 3)
+            drop = jnp.zeros_like(mask)
+            if self.mask_ratio > 0:
+                noise = jax.random.uniform(r1, (b, n))
+                drop |= select_drop_mask(noise, mask, self.mask_ratio,
+                                         largest=True)
+            if teacher_attn is not None:
+
+                def score(ta, frac, largest):
+                    s = ta if largest else -ta
+                    if ta.ndim == 3:  # [B,H,N]: vote fusion over heads
+                        return fuse_heads_vote(s, mask, frac)
+                    return s
+
+                ta = teacher_attn
+                if self.mask_ratio_l > 0:
+                    drop |= select_drop_mask(
+                        score(ta, self.mask_ratio_l, largest=False),
+                        mask, self.mask_ratio_l, largest=True, rng=r2)
+                mrh = self.mask_ratio_h if mask_ratio_h is None else mask_ratio_h
+                if mask_ratio_h is not None or self.mask_ratio_h > 0:
+                    drop |= select_drop_mask(
+                        score(ta, mrh, largest=True),
+                        mask, mrh, largest=True, rng=r3,
+                        random_frac=self.mask_ratio_hr
+                        if self.mask_ratio_hr > 0 else 1.0)
+            keep = mask & ~drop
+
+        enc = self._encoder()
+        out = enc(h, keep, deterministic, return_attn=return_attn)
+        if return_attn:
+            cls_feat, attns = out
+        else:
+            cls_feat = out
+        logits = nn.Dense(self.n_class, name="predictor")(cls_feat)
+        result = {"logits": logits, "cls_feat": cls_feat,
+                  "keep": keep}
+        if return_attn:
+            result["attn"] = attns[self.attn_layer if self.attn_layer >= 0 else -1]
+        return result
+
+    def forward_teacher(self, feats, mask=None):
+        """Teacher pass: no masking, returns cls feat + attention
+        (`modules/mhim.py:190-202`)."""
+        return self(feats, mask, deterministic=True, return_attn=True)
+
+
+def soft_target_ce(student, teacher, temp_t=1.0, temp_s=1.0):
+    """`SoftTargetCrossEntropy_v2` (`modules/mhim.py:20-33`)."""
+    t = jax.nn.softmax(teacher / temp_t, axis=-1)
+    ls = jax.nn.log_softmax(student / temp_s, axis=-1)
+    return jnp.mean(jnp.sum(-t * ls, axis=-1))
+
+
+class MHIMFamily(Family):
+    """Teacher-EMA training step (`Step3_MHIM:124-161`): teacher forward
+    for attention + target feature, student forward with composed masks,
+    loss = cls_alpha·CE + cl_alpha·softCE(student feat, teacher feat),
+    then EMA(teacher ← student, mm). Teacher params ride in the aux state.
+    """
+
+    name = "mhim"
+
+    def make_train_step(self, model, conf):
+        import optax
+        from acmil_tpu.engine.train import TrainState
+
+        cls_alpha = float(getattr(conf, "cls_alpha", 1.0))
+        cl_alpha = float(getattr(conf, "cl_alpha", 0.1))
+        mm = float(getattr(conf, "mm", 0.9999))
+
+        @jax.jit
+        def step(state, bag, rng):
+            valid = bag.mask.any(axis=1)
+            s_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+            rngs = {"stkim": s_rng, "dropout": d_rng}
+            tea_params = state.teacher_params
+
+            tea = model.apply({"params": tea_params}, bag.feats, bag.mask,
+                              deterministic=True, return_attn=True)
+            tea_attn = jax.lax.stop_gradient(tea["attn"])
+            tea_feat = jax.lax.stop_gradient(tea["cls_feat"])
+
+            def loss_fn(params):
+                out = model.apply({"params": params}, bag.feats, bag.mask,
+                                  deterministic=False,
+                                  teacher_attn=tea_attn, rngs=rngs)
+                ce = L.cross_entropy(out["logits"], bag.label, valid)
+                cl = soft_target_ce(out["cls_feat"], tea_feat) if cl_alpha > 0 else 0.0
+                return cls_alpha * ce + cl_alpha * cl, {
+                    "logit_loss": ce, "cls_loss": cl}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            new_state = state.apply_gradients(grads=grads)
+            new_teacher = jax.tree_util.tree_map(
+                lambda t, s: t * mm + s * (1.0 - mm),
+                tea_params, new_state.params)
+            new_state = new_state.replace(teacher_params=new_teacher)
+            aux = dict(aux)
+            aux["loss"] = loss
+            return new_state, aux
+
+        return step
+
+
+register_family(MHIMFamily())
+
+
+@register_model("mhim", family="mhim")
+def _mhim(conf):
+    return MHIM(
+        n_class=conf.n_class,
+        mlp_dim=int(getattr(conf, "mlp_dim", 512)),
+        baseline=str(getattr(conf, "baseline", "selfattn")),
+        mask_ratio=float(getattr(conf, "mask_ratio", 0.0)),
+        mask_ratio_l=float(getattr(conf, "mask_ratio_l", 0.0)),
+        mask_ratio_h=float(getattr(conf, "mask_ratio_h", 0.0)),
+        mask_ratio_hr=float(getattr(conf, "mask_ratio_hr", 1.0)),
+    )
+
+
+@register_model("pure", family="default")
+def _pure(conf):
+    """The MHIM 'pure' baseline: the same encoder without masking/teacher
+    (`Step3_MHIM:135-137`, used to pre-train teacher checkpoints)."""
+    return MHIM(
+        n_class=conf.n_class,
+        mlp_dim=int(getattr(conf, "mlp_dim", 512)),
+        baseline=str(getattr(conf, "baseline", "selfattn")),
+    )

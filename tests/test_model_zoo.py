@@ -23,7 +23,9 @@ def _make_bag(rs, b=2, n=64, d=32, n_valid=(50, 37)):
 
 
 ARCHS = ["abmil", "ga", "mha", "mha_single", "clam_sb", "clam_mb", "dsmil",
-         "meanmil", "maxmil", "transmil"]
+         "meanmil", "maxmil", "transmil", "dtfd", "ibmil", "bmil_vis",
+         "bmil_enc", "bmil_spvis", "ilra", "mhim", "pure", "attmil",
+         "attmil_gated", "lbmil", "ips"]
 
 
 def _build(arch, tiny_conf):
@@ -74,7 +76,9 @@ def test_masked_slots_are_inert(arch, tiny_conf):
         np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("arch", ["clam_sb", "clam_mb", "dsmil", "transmil", "meanmil"])
+@pytest.mark.parametrize("arch", ["clam_sb", "clam_mb", "dsmil", "transmil",
+                                  "meanmil", "dtfd", "ibmil", "bmil_spvis",
+                                  "ilra", "mhim", "lbmil", "ips"])
 def test_overfit_one_batch(arch, tiny_conf):
     tiny_conf.arch = arch
     tiny_conf.lr = 1e-3
@@ -83,7 +87,8 @@ def test_overfit_one_batch(arch, tiny_conf):
     rs = np.random.RandomState(2)
     bag = _make_bag(rs, b=4, n=64, d=32, n_valid=(50, 37, 64, 20))
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(model, tiny_conf, rng, bag, steps_per_epoch=50)
+    state = create_train_state(model, tiny_conf, rng, bag, steps_per_epoch=50,
+                               family=family)
     step = make_train_step(model, tiny_conf, family)
     first = None
     for _ in range(40):
