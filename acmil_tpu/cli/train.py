@@ -1,0 +1,134 @@
+"""Shared Step3 training driver.
+
+The reference splits training across five near-identical scripts
+(`Step3_WSI_classification{,_ACMIL,_DTFD,_IBMIL,_MHIM}.py`) that differ in
+model construction and loss wiring; here those differences live in the
+model registry + family protocol, and this one driver provides the whole
+Step3 surface: YAML+CLI config, dataset/loader setup, per-epoch train +
+val/test eval, wandb-compatible logging, best/last checkpoints on
+val F1+AUC, and optional data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pprint import pprint
+
+import jax
+import numpy as np
+
+from acmil_tpu.config import Config
+from acmil_tpu.data import BagLoader, build_hdf5_feat_dataset
+from acmil_tpu.engine import (create_train_state, evaluate, get_family,
+                              make_eval_step, make_train_step, train_one_epoch)
+from acmil_tpu.engine.checkpoint import CheckpointManager, save_best_and_last
+from acmil_tpu.models import build_mil_model
+from acmil_tpu.utils import MetricLogger, MetricsWriter, set_seed
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", type=str, required=True, help="YAML config")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--wandb_mode", default="disabled",
+                   choices=["offline", "online", "disabled"])
+    p.add_argument("--arch", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--train_epoch", type=int, default=None)
+    p.add_argument("--B", type=int, default=None)
+    p.add_argument("--n_shot", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    return p
+
+
+def load_conf(args) -> Config:
+    overrides = {k: v for k, v in vars(args).items()
+                 if k != "config" and v is not None}
+    conf = Config.from_yaml(args.config, overrides)
+    return conf
+
+
+def run_training(conf: Config, extra_config: dict | None = None) -> dict:
+    set_seed(conf.seed)
+    writer = MetricsWriter(mode=conf.wandb_mode, log_dir=conf.log_dir,
+                           config={**conf.to_dict(), **(extra_config or {})})
+    print("Used config:")
+    pprint(conf.to_dict())
+
+    feat_path = os.path.join(
+        conf.data_dir, f"patch_feats_pretrain_{conf.pretrain}.h5")
+    train_src, val_src, test_src = build_hdf5_feat_dataset(feat_path, conf)
+
+    mesh = None
+    if getattr(conf, "mesh_data", 0):
+        from acmil_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=int(conf.mesh_data), seq=1)
+
+    kw = dict(min_bucket=conf.min_bucket, max_patches=conf.max_patches,
+              mesh=mesh)
+    train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
+                             seed=conf.seed, **kw)
+    val_loader = BagLoader(val_src, conf.B, **kw)
+    test_loader = BagLoader(test_src, conf.B, **kw)
+
+    model, family = build_mil_model(conf)
+    fam = get_family(family)
+    rng = jax.random.PRNGKey(conf.seed)
+    steps_per_epoch = max(len(train_loader), 1)
+    conf.extra.setdefault("steps_per_epoch", steps_per_epoch)
+    example = next(iter(BagLoader(train_src, conf.B, **kw)))
+    state = create_train_state(model, conf, rng, example, steps_per_epoch,
+                               family=fam)
+    if mesh is not None:
+        from acmil_tpu.parallel import shard_params
+
+        state = shard_params(state, mesh)
+
+    train_step = make_train_step(model, conf, fam)
+    eval_step = make_eval_step(model, fam)
+
+    ckpt = CheckpointManager(conf.ckpt_dir)
+    best: dict = {}
+    for epoch in range(conf.train_epoch):
+        logger = MetricLogger()
+        state, stats = train_one_epoch(state, train_step, train_loader, rng,
+                                       epoch, logger)
+        print(f"Epoch [{epoch}] {logger}")
+        writer.log({f"train/{k}": v for k, v in stats.items()}, commit=False)
+
+        val_m = evaluate(state.params, eval_step, val_loader, conf.n_class)
+        test_m = evaluate(state.params, eval_step, test_loader, conf.n_class)
+        print(f"  val  auc {val_m['auc']:.4f} acc {val_m['acc']:.4f} "
+              f"f1 {val_m['f1']:.4f} loss {val_m['loss']:.4f}")
+        print(f"  test auc {test_m['auc']:.4f} acc {test_m['acc']:.4f} "
+              f"f1 {test_m['f1']:.4f} loss {test_m['loss']:.4f}")
+        writer.log({f"perf/val_{k}": v for k, v in val_m.items()}, commit=False)
+        writer.log({f"perf/test_{k}": v for k, v in test_m.items()})
+
+        prev_best_epoch = best.get("epoch")
+        best = save_best_and_last(ckpt, state, epoch, conf, val_m, best)
+        if best.get("epoch") == epoch and prev_best_epoch != epoch:
+            best.update({f"test_{k}": v for k, v in test_m.items()})
+
+    print("Results on best epoch:")
+    print(best)
+    writer.finish()
+    return best
+
+
+def main(argv=None, description="TPU WSI MIL training", defaults=None):
+    parser = base_parser(description)
+    if defaults:
+        parser.set_defaults(**defaults)
+    args = parser.parse_args(argv)
+    conf = load_conf(args)
+    return run_training(conf)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Orbax checkpointing — best/last with the reference's selection rule.
+
+Reference: `utils/utils.py:415-422` (``save_model`` stores model +
+optimizer + epoch + config) and the val-F1+AUC best-checkpoint rule
+(`Step3_WSI_classification_ACMIL.py:156-165`). Unlike the reference (which
+saves optimizer state but never reloads it), :func:`restore` round-trips
+the full train state for true mid-training resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """best/last checkpoints under ``ckpt_dir`` with metadata sidecars."""
+
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.ckpt_dir, f"checkpoint-{tag}")
+
+    def save(self, tag: str, state, epoch: int, conf=None,
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        path = self._path(tag)
+        self._ckpt.save(path, jax.device_get(state), force=True)
+        meta = {"epoch": int(epoch)}
+        if metrics:
+            meta["metrics"] = {k: float(v) for k, v in metrics.items()}
+        if conf is not None:
+            meta["config"] = conf.to_dict() if hasattr(conf, "to_dict") else dict(conf)
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        self._ckpt.wait_until_finished()
+
+    def restore(self, tag: str, target):
+        """Restore into the structure of ``target`` (a TrainState or param
+        pytree)."""
+        return self._ckpt.restore(self._path(tag), target=jax.device_get(target))
+
+    def load_meta(self, tag: str) -> Dict[str, Any]:
+        with open(self._path(tag) + ".json") as f:
+            return json.load(f)
+
+    def exists(self, tag: str) -> bool:
+        return os.path.exists(self._path(tag))
+
+
+def save_best_and_last(mgr: CheckpointManager, state, epoch: int, conf,
+                       val_metrics: Dict[str, float], best: Dict[str, float]):
+    """Apply the reference's selection rule; returns the updated best
+    record (`Step3_ACMIL:156-170`)."""
+    from acmil_tpu.engine.train import is_better
+
+    if is_better(val_metrics, best):
+        best = dict(val_metrics)
+        best["epoch"] = epoch
+        mgr.save("best", state, epoch, conf, val_metrics)
+    mgr.save("last", state, epoch, conf, val_metrics)
+    return best

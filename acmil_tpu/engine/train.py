@@ -149,5 +149,14 @@ def evaluate(params, eval_step, loader, n_class: int) -> Dict[str, float]:
 
 
 def is_better(metrics: Dict[str, float], best: Dict[str, float]) -> bool:
-    """Reference selection rule: val F1 + val AUC (`Step3_ACMIL:156-165`)."""
-    return metrics["f1"] + metrics["auc"] > best.get("f1", -1.0) + best.get("auc", -1.0)
+    """Reference selection rule: val F1 + val AUC (`Step3_ACMIL:156-165`).
+    NaN metrics (e.g. single-class val split) count as 0 so a best
+    checkpoint always gets written."""
+
+    def score(m):
+        f1, auc = m.get("f1", -1.0), m.get("auc", -1.0)
+        f1 = 0.0 if np.isnan(f1) else f1
+        auc = 0.0 if np.isnan(auc) else auc
+        return f1 + auc
+
+    return score(metrics) > score(best) or not best

@@ -1,0 +1,74 @@
+"""Integration tests for the Step3 CLI driver + checkpointing."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import yaml
+
+from acmil_tpu.cli.train import run_training
+from acmil_tpu.config import Config
+from acmil_tpu.data.h5io import write_feature_h5
+from tests.conftest import make_synthetic_bags
+
+
+def _setup(tmp_path, arch="ga", epochs=2, **extra):
+    slides = make_synthetic_bags(n_slides=40, d=32, seed=5)
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    write_feature_h5(os.path.join(data_dir, "patch_feats_pretrain_medical_ssl.h5"),
+                     slides)
+    conf = Config(
+        n_class=2, D_feat=32, D_inner=16, arch=arch, n_token=2,
+        n_masked_patch=4, mask_drop=0.5, lr=2e-3, train_epoch=epochs,
+        min_bucket=64, B=2, seed=0, data_dir=data_dir,
+        ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        pretrain="medical_ssl",
+    )
+    # keep dims tiny (don't resolve from pretrain tag)
+    conf.extra["split_dir"] = str(tmp_path / "nosplits")
+    for k, v in extra.items():
+        conf.extra[k] = v
+    return conf
+
+
+def test_run_training_acmil(tmp_path):
+    conf = _setup(tmp_path, arch="ga", epochs=2)
+    best = run_training(conf)
+    assert "auc" in best and np.isfinite(best["auc"])
+    # checkpoints written
+    assert os.path.exists(str(tmp_path / "ckpt" / "checkpoint-best.json"))
+    assert os.path.exists(str(tmp_path / "ckpt" / "checkpoint-last.json"))
+    # metric log written
+    lines = open(str(tmp_path / "logs" / "metrics.jsonl")).read().splitlines()
+    assert any("perf/val_auc" in l for l in lines)
+
+
+def test_run_training_dtfd(tmp_path):
+    conf = _setup(tmp_path, arch="dtfd", epochs=1, numGroup=4, total_instance=4)
+    best = run_training(conf)
+    assert np.isfinite(best["auc"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.checkpoint import CheckpointManager
+    from acmil_tpu.engine.train import create_train_state
+    from acmil_tpu.models import build_mil_model
+    import jax.numpy as jnp
+
+    conf = Config(n_class=2, D_feat=16, D_inner=8, arch="abmil", train_epoch=1)
+    model, fam = build_mil_model(conf)
+    bag = Bag(feats=jnp.ones((1, 64, 16)), mask=jnp.ones((1, 64), bool),
+              coords=jnp.zeros((1, 64, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    state = create_train_state(model, conf, jax.random.PRNGKey(0), bag, 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save("best", state, epoch=3, conf=conf, metrics={"auc": 0.9})
+    restored = mgr.restore("best", state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    meta = mgr.load_meta("best")
+    assert meta["epoch"] == 3 and meta["metrics"]["auc"] == 0.9
