@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Step2 — patch feature extraction → feature-bag H5.
+
+Mirrors the reference `Step2_feature_extract.py` (`extract_feature:35`,
+main `:124-172`): for every slide with Step1 coords, run the patch encoder
+over batched patch pixels and write one H5 group per slide with ``feat``
+(float16), ``coords`` and a ``label`` attribute — the exact schema the
+Step3 trainers consume.
+
+TPU redesign: batches are static-shape uint8 arrays fed through a
+double-buffered host thread; normalisation happens on device in bf16 and
+is fused into the encoder's first conv; features come back fp16. No
+hardcoded ``cuda:2`` (`Step2:19`, SURVEY §7 known-bugs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import h5py
+import numpy as np
+
+
+def extract_slide_features(model, variables, spec, slide, coords,
+                           patch_size_l0, patch_level, batch_size=256):
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.data.patch_dataset import SlidePatchBatches
+    from acmil_tpu.models.encoders.build import preprocess
+
+    @jax.jit
+    def embed(images_u8):
+        x = preprocess(images_u8, spec)
+        _, feat = model.apply(variables, x, return_feature=True)
+        return feat.astype(jnp.float16)
+
+    src = SlidePatchBatches(slide, coords, patch_size_l0, patch_level,
+                            target_size=spec.img_size, batch_size=batch_size)
+    feats = []
+    n_done = 0
+    for imgs, _, n in src:
+        out = np.asarray(embed(jnp.asarray(imgs)))
+        feats.append(out[:n])
+        n_done += n
+    return np.concatenate(feats) if feats else np.zeros((0, spec.embed_dim),
+                                                        np.float16)
+
+
+def main():
+    from acmil_tpu.config import Config
+    from acmil_tpu.models.encoders import build_encoder
+    from acmil_tpu.wsi import open_slide
+    from acmil_tpu.wsi.tiling import load_coords_h5
+
+    p = argparse.ArgumentParser("Step2: feature extraction (TPU)")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--slide_dir", required=True)
+    p.add_argument("--coords_dir", required=True,
+                   help="Step1 save_dir/patches with per-slide coord H5s")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--backbone", default="ViT-S/16")
+    p.add_argument("--pretrain", default="medical_ssl")
+    p.add_argument("--pretrain_weights", default="",
+                   help="local torch checkpoint to convert")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--label_csv", default=None,
+                   help="CSV with slide_id,label columns")
+    args = p.parse_args()
+
+    conf = (Config.from_yaml(args.config, vars(args)) if args.config
+            else Config.from_dict(vars(args)))
+    conf.resolve_dims()
+
+    import jax
+
+    model, spec, variables = build_encoder(conf)
+    if variables is None:
+        rng = jax.random.PRNGKey(0)
+        dummy = np.zeros((1, spec.img_size, spec.img_size, 3), np.float32)
+        variables = model.init(rng, dummy)
+    else:
+        rng = jax.random.PRNGKey(0)
+        dummy = np.zeros((1, spec.img_size, spec.img_size, 3), np.float32)
+        init_vars = model.init(rng, dummy)
+        # graft converted encoder weights over the random init (head stays)
+        merged = dict(init_vars)
+        params = dict(init_vars["params"])
+        params["encoder"] = variables["params"]["encoder"]
+        merged["params"] = params
+        if "batch_stats" in variables:
+            merged["batch_stats"] = variables["batch_stats"]
+        variables = merged
+
+    labels = {}
+    if args.label_csv:
+        import pandas as pd
+
+        df = pd.read_csv(args.label_csv)
+        labels = dict(zip(df["slide_id"].astype(str), df["label"]))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir,
+                            f"patch_feats_pretrain_{conf.pretrain}.h5")
+    coord_files = sorted(f for f in os.listdir(args.coords_dir)
+                         if f.endswith(".h5"))
+    with h5py.File(out_path, "a") as fout:
+        for cf in coord_files:
+            name = os.path.splitext(cf)[0]
+            if name in fout:
+                print(f"{name}: exists, skipping")
+                continue
+            slide_path = None
+            for ext in (".spy", ".svs", ".tif", ".tiff", ".kfb", ".png",
+                        ".jpg"):
+                cand = os.path.join(args.slide_dir, name + ext)
+                if os.path.exists(cand):
+                    slide_path = cand
+                    break
+            if slide_path is None:
+                print(f"{name}: slide not found, skipping")
+                continue
+            coords, _, attrs = load_coords_h5(os.path.join(args.coords_dir, cf))
+            if len(coords) == 0:
+                print(f"{name}: no patches, skipping")
+                continue
+            slide = open_slide(slide_path)
+            t0 = time.time()
+            patch_size_l0 = int(attrs.get("patch_size", 512) *
+                                attrs.get("downsample", 1.0))
+            feats = extract_slide_features(
+                model, variables, spec, slide, coords, patch_size_l0,
+                int(attrs.get("patch_level", 0)), args.batch_size)
+            dt = time.time() - t0
+            g = fout.create_group(name)
+            g.create_dataset("feat", data=feats.astype(np.float16))
+            g.create_dataset("coords", data=coords)
+            g.attrs["label"] = int(labels.get(name, 0))
+            print(f"{name}: {len(feats)} patches in {dt:.1f}s "
+                  f"({len(feats) / max(dt, 1e-9):.0f} patches/s)")
+    print(f"features -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Encoder factory + preprocessing constants.
+
+Mirrors `build_model` (`models.py:191-206`) dispatch on
+``(pretrain, backbone)`` and the eval-transform normalisation constants
+(`datasets/dataset_h5.py:20-37`: ImageNet mean/std for pretrained
+encoders, 0.5/0.5 otherwise; CLIP uses its own constants).
+
+Weights load from a local torch checkpoint (``conf.pretrain_weights``);
+no-egress environments fall back to random init with a warning (feature
+*pipeline* still runs end to end).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from acmil_tpu.models.encoders.resnet import resnet18, resnet50
+from acmil_tpu.models.encoders.vit import ViT
+
+IMAGENET_MEAN, IMAGENET_STD = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+HALF_MEAN, HALF_STD = (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+CLIP_MEAN, CLIP_STD = ((0.48145466, 0.4578275, 0.40821073),
+                       (0.26862954, 0.26130258, 0.27577711))
+
+
+@dataclass
+class EncoderSpec:
+    builder: object
+    embed_dim: int
+    img_size: int
+    mean: Tuple[float, float, float]
+    std: Tuple[float, float, float]
+    converter: str   # 'vit' | 'resnet'
+    depth: int = 12
+
+
+ENCODER_SPECS = {
+    # (pretrain, backbone) keys follow models.py:191-206
+    ("medical_ssl", "ViT-S/16"): EncoderSpec(
+        lambda dt: ViT(16, 384, 12, 6, dtype=dt), 384, 224,
+        HALF_MEAN, HALF_STD, "vit"),
+    ("natural_supervised", "ViT-B/16"): EncoderSpec(
+        lambda dt: ViT(16, 768, 12, 12, dtype=dt), 768, 224,
+        IMAGENET_MEAN, IMAGENET_STD, "vit"),
+    ("natural_ssl", "ViT-S/16"): EncoderSpec(
+        lambda dt: ViT(16, 768, 12, 12, dtype=dt), 768, 224,
+        IMAGENET_MEAN, IMAGENET_STD, "vit"),
+    ("natural_supervised", "Resnet18"): EncoderSpec(
+        lambda dt: resnet18(dt), 512, 224, IMAGENET_MEAN, IMAGENET_STD,
+        "resnet"),
+    ("natural_supervised", "resnet18"): EncoderSpec(
+        lambda dt: resnet18(dt), 512, 224, IMAGENET_MEAN, IMAGENET_STD,
+        "resnet"),
+    ("natural_supervised", "Resnet50"): EncoderSpec(
+        lambda dt: resnet50(dt), 2048, 224, IMAGENET_MEAN, IMAGENET_STD,
+        "resnet"),
+    ("medical_ssl", "Resnet50"): EncoderSpec(
+        lambda dt: resnet50(dt), 2048, 224, HALF_MEAN, HALF_STD, "resnet"),
+    ("path-clip-L-336", "ViT-L/336"): EncoderSpec(
+        lambda dt: ViT(14, 1024, 24, 16, img_size=336, proj_dim=768,
+                       pre_norm=True, dtype=dt), 768, 336,
+        CLIP_MEAN, CLIP_STD, "vit", depth=24),
+}
+
+
+class CustomModel(nn.Module):
+    """Encoder + linear head with ``return_feature``
+    (`models.py:164-179`)."""
+
+    encoder: nn.Module
+    n_class: int
+
+    @nn.compact
+    def __call__(self, images, return_feature: bool = True):
+        feat = self.encoder(images)
+        logits = nn.Dense(self.n_class, name="head")(feat)
+        if return_feature:
+            return logits, feat
+        return logits
+
+
+def build_encoder(conf, dtype=jnp.bfloat16):
+    """Returns (model, spec, params_or_None).
+
+    Params are converted from ``conf.pretrain_weights`` when given;
+    otherwise None (caller initialises randomly).
+    """
+    key = (conf.pretrain, conf.backbone)
+    spec = ENCODER_SPECS.get(key)
+    if spec is None:
+        raise ValueError(f"unknown encoder {key}; have {sorted(ENCODER_SPECS)}")
+    encoder = spec.builder(dtype)
+    model = CustomModel(encoder=encoder, n_class=conf.n_class)
+
+    variables = None
+    wpath = getattr(conf, "pretrain_weights", "")
+    if wpath:
+        from acmil_tpu.models.encoders import convert as C
+
+        sd = C.load_torch_checkpoint(wpath)
+        if spec.converter == "vit":
+            enc_params = C.convert_vit(sd, depth=spec.depth)
+            variables = {"params": {"encoder": enc_params}}
+        else:
+            enc_params, stats = C.convert_resnet(
+                sd, stage_sizes=encoder.stage_sizes)
+            variables = {"params": {"encoder": enc_params},
+                         "batch_stats": {"encoder": stats}}
+    else:
+        warnings.warn(
+            f"no pretrain_weights given for {key}: encoder is randomly "
+            "initialised (no network egress; supply a local torch checkpoint)")
+    return model, spec, variables
+
+
+def preprocess(images_u8, spec: EncoderSpec, dtype=jnp.bfloat16):
+    """uint8 [B, H, W, 3] → normalised [B, S, S, 3] (eval_transforms,
+    dataset_h5.py:20-37). Resize happens host-side; this is the on-device
+    scale+normalise, fused by XLA into the first conv."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(spec.mean)
+    std = jnp.asarray(spec.std)
+    return ((x - mean) / std).astype(dtype)

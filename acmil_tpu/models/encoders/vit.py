@@ -1,0 +1,115 @@
+"""Vision Transformer patch encoders (flax).
+
+Covers the reference's ViT encoders (`models.py:138-150,191-206`):
+DINO ViT-S/16 (Lunit pathology SSL, 384-d), timm ViT-B/16 (768-d), and the
+CLIP ViT-L/336 variant (`path-clip-L-336`, 1024-d trunk with a projection).
+Layout matches timm/DINO so torch checkpoints convert 1:1
+(:mod:`acmil_tpu.models.encoders.convert`).
+
+TPU notes: patch embedding is a conv that XLA lowers to one MXU matmul;
+attention uses plain ``jnp.einsum`` (sequence length 197/577 — flash-style
+kernels buy nothing at this size); bf16 activations with f32 layernorms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class MlpBlock(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype)(x)
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        dh = self.dim // self.heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(b, n, self.heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, name="attn")(
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+        x = x + MlpBlock(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                         name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
+        return x
+
+
+class ViT(nn.Module):
+    """timm/DINO-layout ViT trunk; returns the cls-token feature."""
+
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    img_size: int = 224
+    mlp_ratio: float = 4.0
+    proj_dim: Optional[int] = None   # CLIP-style output projection
+    pre_norm: bool = False           # CLIP applies LN before the blocks
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def embed_dim(self) -> int:
+        return self.proj_dim or self.dim
+
+    @nn.compact
+    def __call__(self, images):
+        """images: [B, H, W, 3] (NHWC, normalised)."""
+        b = images.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(images)
+        x = x.reshape(b, -1, self.dim)
+        n_tok = x.shape[1] + 1
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)).astype(x.dtype), x], 1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, n_tok, self.dim))
+        x = x + pos.astype(x.dtype)
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=1e-6, name="norm_pre")(x)
+        for i in range(self.depth):
+            x = ViTBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
+                         name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        feat = x[:, 0]
+        if self.proj_dim:
+            feat = nn.Dense(self.proj_dim, use_bias=False, dtype=self.dtype,
+                            name="proj_out")(feat)
+        return feat

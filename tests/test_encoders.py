@@ -1,0 +1,172 @@
+"""Encoder tests: forward shapes and torch→flax conversion parity."""
+
+import numpy as np
+import pytest
+
+from acmil_tpu.models.encoders.resnet import resnet18
+from acmil_tpu.models.encoders.vit import ViT
+
+
+def test_vit_forward_shape(rng):
+    import jax.numpy as jnp
+
+    m = ViT(patch=16, dim=64, depth=2, heads=4, img_size=32)
+    x = jnp.ones((2, 32, 32, 3))
+    params = m.init(rng, x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 64)
+
+
+def test_vit_clip_projection(rng):
+    import jax.numpy as jnp
+
+    m = ViT(patch=16, dim=64, depth=1, heads=4, img_size=32, proj_dim=48,
+            pre_norm=True)
+    x = jnp.ones((1, 32, 32, 3))
+    params = m.init(rng, x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 48)
+    assert m.embed_dim == 48
+
+
+def test_resnet18_forward_shape(rng):
+    import jax.numpy as jnp
+
+    m = resnet18()
+    x = jnp.ones((1, 64, 64, 3))
+    variables = m.init(rng, x)
+    out = m.apply(variables, x)
+    assert out.shape == (1, 512)
+
+
+class _TorchTinyViT:
+    """timm-layout torch ViT for converter parity testing."""
+
+    def build(self, dim=32, depth=2, heads=2, patch=8, img=16):
+        import torch
+        import torch.nn as nn
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+                self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+                self.attn = nn.Module()
+                self.attn.qkv = nn.Linear(dim, dim * 3)
+                self.attn.proj = nn.Linear(dim, dim)
+                self.mlp = nn.Module()
+                self.mlp.fc1 = nn.Linear(dim, dim * 4)
+                self.mlp.fc2 = nn.Linear(dim * 4, dim)
+                self.heads = heads
+
+            def forward(self, x):
+                import math
+
+                b, n, d = x.shape
+                h = self.heads
+                y = self.norm1(x)
+                qkv = self.attn.qkv(y).reshape(b, n, 3, h, d // h)
+                q, k, v = qkv.permute(2, 0, 3, 1, 4)
+                a = (q @ k.transpose(-1, -2)) / math.sqrt(d // h)
+                a = a.softmax(-1)
+                y = (a @ v).transpose(1, 2).reshape(b, n, d)
+                x = x + self.attn.proj(y)
+                y = self.norm2(x)
+                y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+                return x + y
+
+        class TinyViT(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patch_embed = nn.Module()
+                self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+                n_tok = (img // patch) ** 2 + 1
+                self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+                self.pos_embed = nn.Parameter(torch.randn(1, n_tok, dim) * 0.02)
+                self.blocks = nn.ModuleList([Block() for _ in range(depth)])
+                self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+            def forward(self, x):
+                b = x.shape[0]
+                x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+                cls = self.cls_token.expand(b, -1, -1)
+                x = torch.cat([cls, x], 1) + self.pos_embed
+                for blk in self.blocks:
+                    x = blk(x)
+                return self.norm(x)[:, 0]
+
+        return TinyViT()
+
+
+def test_vit_converter_parity():
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.encoders.convert import convert_vit
+
+    dim, depth, heads, patch, img = 32, 2, 2, 8, 16
+    tm = _TorchTinyViT().build(dim, depth, heads, patch, img)
+    tm.eval()
+
+    # state dict uses timm names thanks to the module structure above
+    sd = tm.state_dict()
+    # blocks.N.* naming check
+    assert any(k.startswith("blocks.0.attn.qkv") for k in sd)
+
+    params = convert_vit(sd, depth=depth)
+    fm = ViT(patch=patch, dim=dim, depth=depth, heads=heads, img_size=img)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    f_out = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(f_out, t_out, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_converter_shapes():
+    """Converter emits the exact flax tree (zero-filled torch tensors)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from acmil_tpu.models.encoders.convert import convert_resnet
+
+    # synthesise a torchvision-style resnet18 state dict with right shapes
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = torch.zeros(cout, cin, k, k)
+
+    def bn(name, c):
+        for suf, v in (("weight", torch.ones(c)), ("bias", torch.zeros(c)),
+                       ("running_mean", torch.zeros(c)),
+                       ("running_var", torch.ones(c))):
+            sd[f"{name}.{suf}"] = v
+
+    conv("conv1", 3, 64, 7)
+    bn("bn1", 64)
+    chans = [64, 128, 256, 512]
+    cin = 64
+    for li, c in enumerate(chans):
+        for bi in range(2):
+            t = f"layer{li + 1}.{bi}"
+            conv(f"{t}.conv1", cin if bi == 0 else c, c, 3)
+            bn(f"{t}.bn1", c)
+            conv(f"{t}.conv2", c, c, 3)
+            bn(f"{t}.bn2", c)
+            if bi == 0 and cin != c:
+                conv(f"{t}.downsample.0", cin, c, 1)
+                bn(f"{t}.downsample.1", c)
+        cin = c
+
+    params, stats = convert_resnet(sd)
+    m = resnet18()
+    import jax.numpy as jnp
+
+    ref = m.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)))
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+    out = m.apply({"params": params, "batch_stats": stats},
+                  jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 512)

@@ -1,0 +1,161 @@
+"""WSI layer tests: native SPY IO, segmentation, tiling, stitching,
+heatmaps — against synthetic slides (SURVEY.md §4 test strategy)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from acmil_tpu.wsi.slide import ImageSlide
+from acmil_tpu.wsi.synthetic import make_synthetic_slide_image
+
+
+@pytest.fixture(scope="module")
+def synth():
+    img, centers = make_synthetic_slide_image(2048, 1536, seed=1, tumor=True)
+    return img, centers
+
+
+@pytest.fixture(scope="module")
+def image_slide(synth):
+    return ImageSlide(synth[0])
+
+
+def test_image_slide_pyramid(image_slide):
+    s = image_slide
+    assert s.level_count >= 2
+    assert s.level_dimensions[0] == (2048, 1536)
+    assert s.level_downsamples[0] == 1.0
+    assert s.best_level_for_downsample(2.0) == 1
+    r = s.read_region((100, 100), 0, (64, 64))
+    assert r.shape == (64, 64, 3)
+    # out-of-bounds is white
+    r2 = s.read_region((2040, 1530), 0, (64, 64))
+    assert (r2[20:, 20:] == 255).all()
+
+
+def test_native_spy_roundtrip(tmp_path, synth, image_slide):
+    from acmil_tpu.wsi.native import NativeSlide, write_spy
+
+    img = synth[0]
+    p = str(tmp_path / "s.spy")
+    write_spy(p, [image_slide._levels[i]
+                  for i in range(image_slide.level_count)])
+    ns = NativeSlide(p)
+    assert ns.level_count == image_slide.level_count
+    assert ns.level_dimensions == list(image_slide.level_dimensions)
+    r = ns.read_region((512, 300), 0, (256, 256))
+    ref = img[300:556, 512:768]
+    assert np.abs(r.astype(int) - ref.astype(int)).mean() < 4.0
+    # region straddling edge: white fill
+    r2 = ns.read_region((2000, 1400), 0, (256, 256))
+    assert (r2[-50:, -50:] == 255).all()
+    ns.close()
+
+
+def test_native_raw_codec(tmp_path, image_slide):
+    from acmil_tpu.wsi.native import NativeSlide, write_spy
+
+    p = str(tmp_path / "raw.spy")
+    write_spy(p, [image_slide._levels[-1]], codec="raw")
+    ns = NativeSlide(p)
+    lvl = image_slide._levels[-1]
+    r = ns.read_region((0, 0), 0, (lvl.shape[1], lvl.shape[0]))
+    np.testing.assert_array_equal(r, lvl)  # raw = lossless
+
+
+def test_open_slide_factory_and_cache(tmp_path, image_slide):
+    from acmil_tpu.wsi import clear_slide_cache, open_slide
+    from acmil_tpu.wsi.native import write_spy
+
+    p = str(tmp_path / "f.spy")
+    write_spy(p, [image_slide._levels[i]
+                  for i in range(image_slide.level_count)])
+    s1 = open_slide(p)
+    s2 = open_slide(p)
+    assert s1 is s2  # LRU handle cache
+    clear_slide_cache()
+
+
+def test_segmentation_finds_tissue(image_slide):
+    from acmil_tpu.wsi.segment import segment_tissue
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    assert len(seg.contours) >= 1
+    total_area = sum(float(__import__("cv2").contourArea(c))
+                     for c in seg.contours)
+    w, h = image_slide.level_dimensions[seg.seg_level]
+    assert 0.02 < total_area / (w * h) < 0.95
+
+
+def test_tiling_inside_tissue(image_slide, synth):
+    import cv2
+
+    from acmil_tpu.wsi.segment import segment_tissue
+    from acmil_tpu.wsi.tiling import tile_contours
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    res = tile_contours(image_slide, seg, patch_size=128, step_size=128)
+    assert len(res.coords) > 5
+    # patch centers must be non-background (tissue is non-white)
+    img = synth[0]
+    centers = res.coords + 64
+    vals = img[np.clip(centers[:, 1], 0, img.shape[0] - 1),
+               np.clip(centers[:, 0], 0, img.shape[1] - 1)]
+    frac_tissue = (vals.mean(axis=1) < 240).mean()
+    assert frac_tissue > 0.85, frac_tissue
+
+
+def test_coords_h5_roundtrip(tmp_path, image_slide):
+    from acmil_tpu.wsi.segment import segment_tissue
+    from acmil_tpu.wsi.tiling import load_coords_h5, save_coords_h5, tile_contours
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    res = tile_contours(image_slide, seg, patch_size=128, step_size=128)
+    p = str(tmp_path / "c.h5")
+    save_coords_h5(p, res, name="slideX")
+    coords, labels, attrs = load_coords_h5(p)
+    np.testing.assert_array_equal(coords, res.coords)
+    assert attrs["patch_size"] == 128
+    assert attrs["name"] == "slideX"
+
+
+def test_tumor_labels(image_slide, synth):
+    import cv2
+
+    from acmil_tpu.wsi.segment import segment_tissue
+    from acmil_tpu.wsi.tiling import tile_contours
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    plain = tile_contours(image_slide, seg, patch_size=128, step_size=128)
+    # anchor the annotation on a patch we know was tiled
+    cx, cy = plain.coords[len(plain.coords) // 2] + 64
+    ann = np.array([[[cx - 200, cy - 200]], [[cx + 200, cy - 200]],
+                    [[cx + 200, cy + 200]], [[cx - 200, cy + 200]]])
+    res = tile_contours(image_slide, seg, patch_size=128, step_size=128,
+                        annotations=[ann.astype(np.float64)])
+    assert res.labels.sum() > 0
+    pos = res.coords[res.labels == 1] + 64
+    assert (np.abs(pos[:, 0] - cx) <= 300).all()
+    assert (np.abs(pos[:, 1] - cy) <= 300).all()
+
+
+def test_stitch_and_heatmap(image_slide):
+    from acmil_tpu.wsi.heatmap import vis_heatmap
+    from acmil_tpu.wsi.segment import segment_tissue
+    from acmil_tpu.wsi.stitch import is_black_patch, is_white_patch, stitch_coords
+    from acmil_tpu.wsi.tiling import tile_contours
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    res = tile_contours(image_slide, seg, patch_size=256, step_size=256)
+    canvas = stitch_coords(image_slide, res.coords[:10], 256, canvas_max=512)
+    assert canvas.shape[2] == 3
+
+    scores = np.random.RandomState(0).rand(len(res.coords))
+    hm = vis_heatmap(image_slide, scores, res.coords, patch_size=(256, 256),
+                     canvas_max=512)
+    assert hm.dtype == np.uint8 and hm.shape[2] == 3
+
+    white = np.full((64, 64, 3), 255, np.uint8)
+    assert is_white_patch(white) and not is_black_patch(white)
+    assert is_black_patch(np.zeros((64, 64, 3), np.uint8))
