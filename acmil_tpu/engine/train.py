@@ -82,6 +82,8 @@ def make_train_step(model, conf, family="acmil") -> Callable:
     if hasattr(fam, "make_train_step"):
         return fam.make_train_step(model, conf)
     conf_d = fam.conf_dict(conf)
+    use_sam = bool(getattr(conf, "use_sam", False))
+    sam_rho = float(getattr(conf, "sam_rho", 0.05))
 
     @jax.jit
     def step(state: TrainState, bag: Bag, rng: jax.Array):
@@ -93,7 +95,12 @@ def make_train_step(model, conf, family="acmil") -> Callable:
             outputs = fam.train_outputs(state.apply_fn, params, bag, rngs, conf_d)
             return fam.loss(outputs, bag, valid, conf_d)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if use_sam:
+            from acmil_tpu.ops.sam import sam_gradient
+
+            (loss, aux), grads = sam_gradient(loss_fn, state.params, sam_rho)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
         aux = dict(aux)
         aux["loss"] = loss

@@ -51,6 +51,30 @@ class DAttentionMIL(nn.Module):
         return logits
 
 
+class ResnetE2EMIL(nn.Module):
+    """End-to-end patch-pixel MIL: ResNet50 trunk → MLP stem → per-patch
+    logits with masked-max pooling (`architecture/attmil.py:17-44`,
+    ``Resnet``). Consumes raw patch pixels ``[B, N, H, W, 3]``."""
+
+    n_class: int
+    droprate: float = 0.25
+
+    @nn.compact
+    def __call__(self, patches, mask=None, deterministic: bool = True):
+        from acmil_tpu.models.encoders.resnet import resnet50
+        from acmil_tpu.ops.masked import masked_max
+
+        b, n = patches.shape[:2]
+        feats = resnet50()(patches.reshape((b * n,) + patches.shape[2:]))
+        feats = feats.reshape(b, n, -1)
+        h = nn.relu(nn.Dense(4096)(feats))
+        h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
+        h = nn.relu(nn.Dense(512)(h))
+        h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
+        logits = nn.Dense(self.n_class)(h)                      # [B, N, C]
+        return masked_max(logits, mask, axis=1)
+
+
 @register_model("attmil")
 def _attmil(conf):
     return DAttentionMIL(n_class=conf.n_class)

@@ -84,6 +84,39 @@ class LinearVDO(nn.Module):
         return mu + eps * jnp.sqrt(var)
 
 
+class Conv2dVDO(nn.Module):
+    """Variational-dropout conv layer (`linear_vdo.py:124-249`): the conv
+    analogue of LinearVDO — mean conv plus a sampled variance term from
+    α ⊙ W² applied to x². Bias-free (the reference notes bias → NaN)."""
+
+    features: int
+    kernel: int = 3
+    ard_init: float = -1.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: [B, H, W, C]
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.normal(0.01),
+                       (self.kernel, self.kernel, cin, self.features))
+        log_alp = self.param("log_alp",
+                             nn.initializers.constant(self.ard_init),
+                             (self.kernel, self.kernel, cin, self.features))
+        self.sow("kl", "vdo", vdo_kl(log_alp.reshape(-1, self.features)),
+                 init_fn=lambda: jnp.zeros(()), reduce_fn=lambda a, b: a + b)
+        pad = self.kernel // 2
+        dn = ("NHWC", "HWIO", "NHWC")
+        mu = jax.lax.conv_general_dilated(x, w, (1, 1), ((pad, pad), (pad, pad)),
+                                          dimension_numbers=dn)
+        if deterministic:
+            return mu
+        var = jax.lax.conv_general_dilated(
+            x * x, jnp.exp(log_alp) * w * w + _EPS, (1, 1),
+            ((pad, pad), (pad, pad)), dimension_numbers=dn)
+        eps = jax.random.normal(self.make_rng("dropout"), mu.shape, mu.dtype)
+        return mu + eps * jnp.sqrt(var)
+
+
 def gaussian_kernel2d(ksize: int = 3, sigma: float = 0.5) -> np.ndarray:
     ax = np.arange(ksize, dtype=np.float32) - (ksize - 1) / 2
     g = np.exp(-(ax / sigma) ** 2 / 2) / (sigma * math.sqrt(2 * math.pi))

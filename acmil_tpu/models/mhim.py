@@ -92,12 +92,14 @@ def fuse_heads_vote(attn: jnp.ndarray, valid: jnp.ndarray, frac: float) -> jnp.n
 # ---------------------------------------------------------------------------
 
 class SAttentionEncoder(nn.Module):
-    """2-layer Nystrom transformer encoder with cls token + PPEG
-    (`modules/satten.py:30-122`). Returns (cls_feat, per-layer cls
-    attention [2][B, N])."""
+    """2-layer Nystrom transformer encoder with cls token + pluggable
+    positional embedding (`modules/satten.py:30-122`; ``pos`` options at
+    `:40-48`: ppeg / peg / sincos / none). Returns (cls_feat, per-layer
+    cls attention [2][B, N])."""
 
     dim: int = 512
     heads: int = 8
+    pos: str = "ppeg"
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -127,7 +129,14 @@ class SAttentionEncoder(nn.Module):
             attns.append(a1[:, 0, 1:1 + n])
         else:
             h = TransLayer(self.dim)(h, fmask, deterministic)
-        h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
+        if self.pos == "ppeg":
+            h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
+        elif self.pos in ("peg", "sincos"):
+            from acmil_tpu.models.emb_position import PEG, SINCOS
+
+            emb = PEG(self.dim) if self.pos == "peg" else SINCOS(self.dim)
+            body = emb(h[:, 1:], gh, gw)
+            h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
             h, a2 = TransLayer(self.dim)(h, fmask, deterministic,
                                          return_attn_rows=1)

@@ -32,6 +32,33 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
     return rankdata(scores, "average") / len(scores) * 100
 
 
+def sample_rois(scores: np.ndarray, coords: np.ndarray, k: int = 5,
+                mode: str = "range_sample", seed: int = 1,
+                score_start: float = 0.45, score_end: float = 0.55,
+                top_left=None, bot_right=None) -> dict:
+    """Sample ROI coords by attention score (`sample_rois`,
+    `wsi_utils.py:137-160`): percentile-normalise, optionally crop to a
+    window, then range-sample / topk / reverse-topk."""
+    scores = np.asarray(scores, np.float64).reshape(-1)
+    coords = np.asarray(coords)
+    scores = to_percentiles(scores) / 100.0
+    if top_left is not None and bot_right is not None:
+        keep = ((coords[:, 0] >= top_left[0]) & (coords[:, 0] <= bot_right[0])
+                & (coords[:, 1] >= top_left[1]) & (coords[:, 1] <= bot_right[1]))
+        scores, coords = scores[keep], coords[keep]
+    if mode == "range_sample":
+        in_range = np.flatnonzero((scores >= score_start) & (scores <= score_end))
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(in_range, size=min(k, len(in_range)), replace=False)
+    elif mode == "topk":
+        sel = np.argsort(-scores)[:k]
+    elif mode == "reverse_topk":
+        sel = np.argsort(scores)[:k]
+    else:
+        raise NotImplementedError(mode)
+    return {"sampled_coords": coords[sel], "sampled_scores": scores[sel]}
+
+
 def stitch_coords(slide, coords: np.ndarray, patch_size_l0: int,
                   canvas_max: int = 2048,
                   draw_grid: bool = True) -> np.ndarray:

@@ -1,0 +1,179 @@
+"""Tests for the long-tail parity components: augmentations, SAM,
+annotations, smooth-top1-SVM, ROI sampling, Conv2dVDO, positional
+embeddings, scale-space reads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acmil_tpu.utils.augment import (data_split, five_scores, group_shuffle,
+                                     k_fold_splits, patch_shuffle)
+
+
+def test_group_shuffle_is_permutation():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.arange(24.0).reshape(1, 12, 2)
+    out = group_shuffle(rng, x, group=3)
+    assert sorted(np.asarray(out[0, :, 0]).tolist()) == \
+        sorted(np.asarray(x[0, :, 0]).tolist())
+    # chunks of 4 stay contiguous
+    vals = np.asarray(out[0, :, 0]).reshape(3, 4)
+    diffs = np.diff(vals, axis=1)
+    assert (diffs == 2).all()
+
+
+def test_patch_shuffle_is_permutation():
+    rng = jax.random.PRNGKey(1)
+    x = jnp.arange(32.0).reshape(1, 16, 2)
+    out = patch_shuffle(rng, x, group=2)
+    assert sorted(np.asarray(out[0, :, 0]).tolist()) == \
+        sorted(np.asarray(x[0, :, 0]).tolist())
+
+
+def test_five_scores():
+    labels = np.array([0, 0, 1, 1, 1, 0])
+    scores = np.array([0.1, 0.2, 0.8, 0.9, 0.7, 0.3])
+    acc, auc, prec, rec, f1 = five_scores(labels, scores)
+    assert auc == 1.0 and acc == 1.0 and f1 == 1.0
+
+
+def test_data_split_balance():
+    items = list(range(100))
+    labels = np.array([i % 2 for i in items])
+    val, train = data_split(items, 0.2, labels=labels)
+    assert len(val) == 20
+    val_labels = [labels[i] for i in val]
+    assert sum(val_labels) == 10  # balanced
+
+
+def test_k_fold():
+    folds = k_fold_splits(list(range(10)), k=5, seed=0)
+    assert len(folds) == 5
+    all_test = sorted(sum((t for _, t in folds), []))
+    assert all_test == list(range(10))
+
+
+def test_sam_step_trains(tiny_conf):
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.train import create_train_state, make_train_step
+    from acmil_tpu.models import build_mil_model
+
+    tiny_conf.arch = "abmil"
+    tiny_conf.extra["use_sam"] = True
+    model, fam = build_mil_model(tiny_conf)
+    rs = np.random.RandomState(0)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 64, 32), jnp.float32),
+              mask=jnp.ones((2, 64), bool),
+              coords=jnp.zeros((2, 64, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    state = create_train_state(model, tiny_conf, jax.random.PRNGKey(0), bag, 10)
+    step = make_train_step(model, tiny_conf, fam)
+    first = None
+    for _ in range(20):
+        state, aux = step(state, bag, jax.random.PRNGKey(0))
+        first = first or float(aux["loss"])
+    assert float(aux["loss"]) < first
+
+
+def test_xml_annotations(tmp_path):
+    from acmil_tpu.wsi.annotations import load_xml_annotations
+
+    xml = """<?xml version="1.0"?>
+    <ASAP_Annotations><Annotations>
+      <Annotation Name="a1" Type="Polygon">
+        <Coordinates>
+          <Coordinate Order="0" X="100.5" Y="200.1"/>
+          <Coordinate Order="1" X="300.0" Y="200.0"/>
+          <Coordinate Order="2" X="300.0" Y="400.0"/>
+          <Coordinate Order="3" X="100.0" Y="400.0"/>
+        </Coordinates>
+      </Annotation>
+    </Annotations></ASAP_Annotations>"""
+    p = tmp_path / "ann.xml"
+    p.write_text(xml)
+    conts = load_xml_annotations(str(p))
+    assert len(conts) == 1
+    assert conts[0].shape == (4, 1, 2)
+    assert conts[0][0, 0, 0] == 100
+
+
+def test_smooth_top1_svm():
+    from acmil_tpu.ops.topk_svm import smooth_top1_svm_loss
+
+    scores = jnp.array([[10.0, -10.0], [-10.0, 10.0]])
+    labels = jnp.array([0, 1])
+    # confident & correct -> ~0 loss
+    assert float(smooth_top1_svm_loss(scores, labels)) < 1e-3
+    wrong = jnp.array([1, 0])
+    assert float(smooth_top1_svm_loss(scores, wrong)) > 10.0
+    # gradient exists
+    g = jax.grad(lambda s: smooth_top1_svm_loss(s, labels))(scores)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sample_rois():
+    from acmil_tpu.wsi.stitch import sample_rois
+
+    rs = np.random.RandomState(0)
+    scores = rs.rand(200)
+    coords = rs.randint(0, 10000, (200, 2))
+    top = sample_rois(scores, coords, k=5, mode="topk")
+    assert len(top["sampled_coords"]) == 5
+    assert top["sampled_scores"].min() > 0.9
+    rng_s = sample_rois(scores, coords, k=5, mode="range_sample")
+    assert ((rng_s["sampled_scores"] >= 0.45) &
+            (rng_s["sampled_scores"] <= 0.55)).all()
+
+
+def test_conv2d_vdo():
+    from acmil_tpu.models.bmil import Conv2dVDO
+
+    m = Conv2dVDO(features=4, kernel=3)
+    x = jnp.ones((1, 8, 8, 2))
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+    det = m.apply(variables, x, deterministic=True)
+    assert det.shape == (1, 8, 8, 4)
+    out, muts = m.apply(variables, x, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)},
+                        mutable=["kl"])
+    assert out.shape == det.shape
+    assert np.isfinite(float(jax.tree_util.tree_leaves(muts["kl"])[0]))
+
+
+def test_peg_sincos():
+    from acmil_tpu.models.emb_position import PEG, SINCOS, sincos_2d
+
+    x = jnp.ones((1, 16, 8))
+    peg = PEG(8)
+    v = peg.init(jax.random.PRNGKey(0), x, 4, 4)
+    out = peg.apply(v, x, 4, 4)
+    assert out.shape == x.shape
+    sc = SINCOS(8)
+    out2 = sc.apply({}, x, 4, 4)
+    assert out2.shape == x.shape
+    t = sincos_2d(8, 4, 4)
+    assert t.shape == (16, 8)
+
+
+def test_slide_scale_read():
+    from acmil_tpu.wsi.slide import ImageSlide
+    from acmil_tpu.wsi.synthetic import make_synthetic_slide_image
+
+    img, _ = make_synthetic_slide_image(2048, 1024, seed=3)
+    s = ImageSlide(img)
+    r = s.read((0, 0), (512, 512), scale=0.25)
+    assert r.shape == (128, 128, 3)
+    wins = s.get_slide_window_info(1024, overlap_l0=0)
+    assert (0, 0) in wins and len(wins) == 2
+
+
+def test_mhim_pos_variants(tiny_conf):
+    from acmil_tpu.models.mhim import SAttentionEncoder
+
+    for pos in ("peg", "sincos", "none"):
+        enc = SAttentionEncoder(dim=32, heads=4, pos=pos)
+        x = jnp.ones((1, 64, 32))
+        v = enc.init({"params": jax.random.PRNGKey(0)}, x)
+        out = enc.apply(v, x)
+        assert out.shape == (1, 32)
