@@ -93,7 +93,7 @@ class BagLoader:
         bag = collate_bags(feats, coords, labels, self.min_bucket, self.max_patches,
                            dtype=self.dtype)
         if len(items) < target_b:
-            mask = np.asarray(bag.mask)
+            mask = np.array(bag.mask)  # writable copy
             mask[len(items):] = False
             bag = bag.replace(mask=jax.numpy.asarray(mask))
         if self._sharding is not None:

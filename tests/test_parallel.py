@@ -1,0 +1,96 @@
+"""Distributed tests on the 8-virtual-device CPU mesh: DP/SP sharded
+training must match single-device numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acmil_tpu.data.bags import Bag
+from acmil_tpu.engine.train import create_train_state, make_train_step
+from acmil_tpu.models import build_mil_model
+from acmil_tpu.parallel import make_mesh, shard_bag, shard_params
+
+
+def _bag(rs, b, n=128, d=32):
+    return Bag(feats=jnp.asarray(rs.randn(b, n, d), jnp.float32),
+               mask=jnp.asarray(rs.rand(b, n) < 0.9),
+               coords=jnp.zeros((b, n, 2), jnp.int32),
+               label=jnp.asarray(rs.randint(0, 2, b), jnp.int32))
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("shard_seq", [False, True])
+def test_dp_matches_single_device(tiny_conf, shard_seq):
+    tiny_conf.arch = "abmil"
+    model, fam = build_mil_model(tiny_conf)
+    rs = np.random.RandomState(0)
+    bag = _bag(rs, b=8)
+    rng = jax.random.PRNGKey(0)
+
+    # single device
+    state1 = create_train_state(model, tiny_conf, rng, bag, 10)
+    step1 = make_train_step(model, tiny_conf, fam)
+    s1, aux1 = step1(state1, bag, rng)
+
+    # mesh: 4-way data parallel (x2 seq when shard_seq)
+    mesh = make_mesh(data=4, seq=2 if shard_seq else 1)
+    with mesh:
+        state2 = create_train_state(model, tiny_conf, rng, bag, 10)
+        state2 = shard_params(state2, mesh)
+        bag2 = shard_bag(bag, mesh, shard_seq=shard_seq)
+        step2 = make_train_step(model, tiny_conf, fam)
+        s2, aux2 = step2(state2, bag2, rng)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(aux1["grad_norm"]),
+                               float(aux2["grad_norm"]), rtol=1e-4)
+    # AdamW sign-normalises near-zero grads, so reduction-order noise can
+    # flip individual updates; updates are bounded by ~lr, compare there.
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5 * tiny_conf.lr)
+
+
+def test_acmil_on_mesh(tiny_conf):
+    """The flagship head end-to-end on a DP+SP mesh (what
+    dryrun_multichip exercises)."""
+    tiny_conf.arch = "ga"
+    model, fam = build_mil_model(tiny_conf)
+    rs = np.random.RandomState(1)
+    bag = _bag(rs, b=4, n=256)
+    mesh = make_mesh(data=4, seq=2)
+    rng = jax.random.PRNGKey(0)
+    with mesh:
+        state = create_train_state(model, tiny_conf, rng, bag, 10)
+        state = shard_params(state, mesh)
+        bag = shard_bag(bag, mesh, shard_seq=True)
+        step = make_train_step(model, tiny_conf, fam)
+        first = None
+        for _ in range(5):
+            state, aux = step(state, bag, rng)
+            first = first or float(aux["loss"])
+        assert np.isfinite(float(aux["loss"]))
+        assert float(aux["loss"]) < first
+
+
+def test_loader_with_mesh(tmp_path, tiny_conf):
+    from acmil_tpu.data import BagLoader, write_feature_h5
+    from acmil_tpu.data.h5io import FeatureBagSource
+    from tests.conftest import make_synthetic_bags
+
+    slides = make_synthetic_bags(n_slides=10, d=16, seed=0)
+    p = str(tmp_path / "f.h5")
+    write_feature_h5(p, slides)
+    src = FeatureBagSource(p, sorted(slides))
+    mesh = make_mesh(data=4, seq=1)
+    loader = BagLoader(src, batch_size=4, min_bucket=64, mesh=mesh)
+    for bag in loader:
+        # ragged batches are padded to the full device batch
+        assert bag.feats.shape[0] == 4
+        assert bag.feats.sharding.spec[0] == "data"
