@@ -36,6 +36,7 @@ class SelfAttention(nn.Module):
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True  # False: inference-only bf16 softmax (~13% faster)
 
     @nn.compact
     def __call__(self, x):
@@ -48,8 +49,12 @@ class SelfAttention(nn.Module):
             return t.reshape(b, n, self.heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh).astype(
+            self.dtype)
+        if self.softmax_f32:
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -60,10 +65,12 @@ class ViTBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = x + SelfAttention(self.dim, self.heads, self.dtype, name="attn")(
+        x = x + SelfAttention(self.dim, self.heads, self.dtype,
+                              self.softmax_f32, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
         x = x + MlpBlock(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
                          name="mlp")(
@@ -83,6 +90,7 @@ class ViT(nn.Module):
     proj_dim: Optional[int] = None   # CLIP-style output projection
     pre_norm: bool = False           # CLIP applies LN before the blocks
     dtype: jnp.dtype = jnp.float32
+    softmax_f32: bool = True
 
     @property
     def embed_dim(self) -> int:
@@ -106,7 +114,7 @@ class ViT(nn.Module):
             x = nn.LayerNorm(epsilon=1e-6, name="norm_pre")(x)
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
-                         name=f"block{i}")(x)
+                         self.softmax_f32, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         feat = x[:, 0]
         if self.proj_dim:
