@@ -43,6 +43,17 @@ def main():
     args = p.parse_args()
     conf = load_conf(args)
 
+    # the checkpoint sidecar stores the exact training config
+    # (engine/checkpoint.py) — rebuild the model with it so arch
+    # hyperparams (n_token, ...) match the saved params
+    ckpt_meta = CheckpointManager(args.ckpt_dir)
+    if ckpt_meta.exists("best"):
+        saved = ckpt_meta.load_meta("best").get("config", {})
+        for k in ("arch", "n_token", "n_masked_patch", "mask_drop",
+                  "D_feat", "D_inner", "n_class"):
+            if k in saved:
+                setattr(conf, k, saved[k])
+
     model, family = build_mil_model(conf)
     feat_path = os.path.join(conf.data_dir,
                              f"patch_feats_pretrain_{conf.pretrain}.h5")

@@ -21,11 +21,15 @@ import os as _os
 # compiled programs per config; caching them makes every run after the first
 # start instantly (compiles cost 25-70s each through remote-compile tunnels).
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "acmil_tpu", "xla")
     try:
-        _os.makedirs(_cache, exist_ok=True)
         import jax as _jax
 
+        # segregate by platform: CPU must not pick up AOT artifacts
+        # compiled for another machine profile (SIGILL hazard)
+        _plat = (_os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
+        _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                               "acmil_tpu", f"xla-{_plat}")
+        _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -36,6 +36,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--arch", type=str, default=None)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--min_bucket", type=int, default=None)
+    p.add_argument("--max_patches", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--train_epoch", type=int, default=None)
     p.add_argument("--B", type=int, default=None)
@@ -69,12 +72,14 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
         mesh = make_mesh(data=int(conf.mesh_data), seq=1)
 
+    # fp16 on the wire (features are stored fp16 anyway); eval loaders keep
+    # their batches resident on device across epochs
     kw = dict(min_bucket=conf.min_bucket, max_patches=conf.max_patches,
-              mesh=mesh)
+              mesh=mesh, dtype=np.float16)
     train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
                              seed=conf.seed, **kw)
-    val_loader = BagLoader(val_src, conf.B, **kw)
-    test_loader = BagLoader(test_src, conf.B, **kw)
+    val_loader = BagLoader(val_src, conf.B, cache_device=True, **kw)
+    test_loader = BagLoader(test_src, conf.B, cache_device=True, **kw)
 
     model, family = build_mil_model(conf)
     fam = get_family(family)

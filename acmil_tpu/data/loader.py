@@ -38,7 +38,13 @@ class BagLoader:
         data_axis: str = "data",
         prefetch: int = 2,
         dtype=np.float32,
+        cache_device: bool = False,
     ):
+        """``cache_device=True`` materialises every batch on device once and
+        replays it on later iterations — the right mode for val/test loaders
+        that are re-evaluated every epoch (host→device bag transfer is the
+        dominant cost on relay-attached chips; see BENCH_NOTES.md). Only
+        valid when ``shuffle=False``."""
         self.source = source
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +56,9 @@ class BagLoader:
         self.data_axis = data_axis
         self.prefetch = prefetch
         self.dtype = dtype
+        assert not (cache_device and shuffle), "cache_device needs shuffle=False"
+        self.cache_device = cache_device
+        self._device_batches = None
         self._sharding = None
         if mesh is not None:
             self._sharding = jax.sharding.NamedSharding(
@@ -102,6 +111,12 @@ class BagLoader:
 
     # -- iteration ----------------------------------------------------------
     def __iter__(self) -> Iterator[Bag]:
+        if self.cache_device:
+            if self._device_batches is None:
+                self._device_batches = [self._make_batch(g)
+                                        for g in self._plan()]
+            yield from self._device_batches
+            return
         groups = self._plan()
         if self.prefetch <= 0:
             for g in groups:

@@ -126,27 +126,38 @@ def make_eval_step(model, family="default") -> Callable:
 # ---------------------------------------------------------------------------
 
 def train_one_epoch(state: TrainState, train_step, loader, rng: jax.Array,
-                    epoch: int, logger=None) -> Tuple[TrainState, Dict[str, float]]:
-    totals: Dict[str, float] = {}
+                    epoch: int, logger=None,
+                    log_every: int = 0) -> Tuple[TrainState, Dict[str, float]]:
+    """Drive one epoch. Metrics stay on device and sync ONCE at epoch end —
+    per-step host readbacks cost a full relay round trip each (bench notes);
+    set ``log_every`` > 0 to additionally feed the MetricLogger every K
+    steps (costs one sync per K steps)."""
+    totals: Dict[str, jnp.ndarray] = {}
     n = 0
     for bag in loader:
         state, aux = train_step(state, bag, rng)
         n += 1
-        if logger is not None:
-            logger.update(**{k: float(v) for k, v in aux.items()})
         for k, v in aux.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
-    return state, {k: v / max(n, 1) for k, v in totals.items()}
+            totals[k] = totals.get(k, 0.0) + v
+        if logger is not None and log_every and n % log_every == 0:
+            logger.update(**{k: float(v) for k, v in aux.items()})
+    stats = {k: float(v) / max(n, 1) for k, v in totals.items()}
+    if logger is not None and not log_every:
+        logger.update(**stats)
+    return state, stats
 
 
 def evaluate(params, eval_step, loader, n_class: int) -> Dict[str, float]:
     """Returns acc/auc/f1/loss over a split (`Step3_ACMIL:242-287`)."""
-    probs_all, labels_all = [], []
+    probs_dev, valid_dev, labels_dev = [], [], []
     for bag in loader:
-        probs = eval_step(params, bag)
-        valid = np.asarray(bag.mask.any(axis=1))
-        probs_all.append(np.asarray(probs)[valid])
-        labels_all.append(np.asarray(bag.label)[valid])
+        probs_dev.append(eval_step(params, bag))   # stays on device (async)
+        valid_dev.append(bag.mask.any(axis=1))
+        labels_dev.append(bag.label)
+    # one bulk host transfer at the end instead of a sync per batch
+    probs_h, valid_h, labels_h = jax.device_get((probs_dev, valid_dev, labels_dev))
+    probs_all = [p[v] for p, v in zip(probs_h, valid_h)]
+    labels_all = [l[v] for l, v in zip(labels_h, valid_h)]
     probs = np.concatenate(probs_all) if probs_all else np.zeros((0, n_class))
     labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), np.int64)
     m = classification_metrics(probs, labels)
