@@ -49,6 +49,54 @@ def extract_slide_features(model, variables, spec, slide, coords,
                                                         np.float16)
 
 
+def extract_roi_features(model, variables, spec, roi_dir, output_dir,
+                         batch_size=64):
+    """ROI-centroid side path (`Step2_feature_extract.py:75-120` in the
+    reference): ImageFolder-style class subdirectories of ROI crops →
+    per-class mean feature centroids saved as ``roi_feats.npy``."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.encoders.build import preprocess
+
+    classes = sorted(d for d in os.listdir(roi_dir)
+                     if os.path.isdir(os.path.join(roi_dir, d)))
+
+    @jax.jit
+    def embed(images_u8):
+        x = preprocess(images_u8, spec)
+        _, feat = model.apply(variables, x, return_feature=True)
+        return feat
+
+    feats, labels = [], []
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(roi_dir, cls)
+        files = sorted(f for f in os.listdir(cdir)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        for i in range(0, len(files), batch_size):
+            chunk = files[i:i + batch_size]
+            imgs = np.zeros((batch_size, spec.img_size, spec.img_size, 3),
+                            np.uint8)
+            for j, fname in enumerate(chunk):
+                img = cv2.cvtColor(cv2.imread(os.path.join(cdir, fname)),
+                                   cv2.COLOR_BGR2RGB)
+                imgs[j] = cv2.resize(img, (spec.img_size, spec.img_size))
+            out = np.asarray(embed(jnp.asarray(imgs)), np.float32)[:len(chunk)]
+            feats.append(out)
+            labels.extend([ci] * len(chunk))
+    feats = np.concatenate(feats)
+    labels = np.asarray(labels)
+    # per-class centroids, skipping class 0 like the reference (`:116-119`)
+    centroids = np.stack([feats[labels == c].mean(axis=0)
+                          for c in range(1, len(classes))])
+    os.makedirs(output_dir, exist_ok=True)
+    out = os.path.join(output_dir, "roi_feats.npy")
+    np.save(out, centroids)
+    print(f"roi centroids {centroids.shape} -> {out}")
+    return centroids
+
+
 def main():
     from acmil_tpu.config import Config
     from acmil_tpu.models.encoders import build_encoder
@@ -57,8 +105,8 @@ def main():
 
     p = argparse.ArgumentParser("Step2: feature extraction (TPU)")
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--slide_dir", required=True)
-    p.add_argument("--coords_dir", required=True,
+    p.add_argument("--slide_dir", default=None)
+    p.add_argument("--coords_dir", default=None,
                    help="Step1 save_dir/patches with per-slide coord H5s")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--backbone", default="ViT-S/16")
@@ -68,6 +116,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--label_csv", default=None,
                    help="CSV with slide_id,label columns")
+    p.add_argument("--roi_dir", default=None,
+                   help="ImageFolder-style ROI crops: extract per-class "
+                        "centroid features instead of slide bags")
     args = p.parse_args()
 
     conf = (Config.from_yaml(args.config, vars(args)) if args.config
@@ -93,6 +144,14 @@ def main():
         if "batch_stats" in variables:
             merged["batch_stats"] = variables["batch_stats"]
         variables = merged
+
+    if args.roi_dir:
+        extract_roi_features(model, variables, spec, args.roi_dir,
+                             args.output_dir, args.batch_size)
+        return
+    if not args.slide_dir or not args.coords_dir:
+        raise SystemExit("--slide_dir and --coords_dir are required "
+                         "(or use --roi_dir)")
 
     labels = {}
     if args.label_csv:

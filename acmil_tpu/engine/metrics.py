@@ -66,6 +66,23 @@ def accuracy(preds: np.ndarray, labels: np.ndarray) -> float:
     return float(np.mean(preds == labels)) if len(labels) else float("nan")
 
 
+def gather_across_hosts(probs: np.ndarray, labels: np.ndarray):
+    """Multi-host metric gather — the working version of the reference's
+    vestigial ``SmoothedValue.synchronize_between_processes`` all-reduce
+    (`utils/utils.py:92-103`, never initialised there). Each host
+    evaluates its shard of slides; this gathers all (probs, labels) so
+    AUC/F1 are computed over the full split. No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return probs, labels
+    from jax.experimental import multihost_utils
+
+    gp = multihost_utils.process_allgather(probs)
+    gl = multihost_utils.process_allgather(labels)
+    return gp.reshape(-1, probs.shape[-1]), gl.reshape(-1)
+
+
 def classification_metrics(probs: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
     """The eval triple the reference logs per epoch (`engine.py:210-218`)."""
     probs = np.asarray(probs)

@@ -272,15 +272,35 @@ class MHIMFamily(Family):
     name = "mhim"
 
     def make_train_step(self, model, conf):
-        import optax
-        from acmil_tpu.engine.train import TrainState
+        from acmil_tpu.engine.schedules import cosine_array
 
         cls_alpha = float(getattr(conf, "cls_alpha", 1.0))
         cl_alpha = float(getattr(conf, "cl_alpha", 0.1))
-        mm = float(getattr(conf, "mm", 0.9999))
+        mm0 = float(getattr(conf, "mm", 0.9999))
+        steps = int(getattr(conf, "steps_per_epoch", 1)) * conf.train_epoch
+
+        # cosine schedules for EMA momentum and the high-attention mask
+        # ratio (`Step3_MHIM:280-310`, `cosine_scheduler` utils.py:529),
+        # baked as jnp constants indexed by state.step
+        if bool(getattr(conf, "mm_sche", False)):
+            mm_arr = jnp.asarray(cosine_array(
+                mm0, float(getattr(conf, "mm_final", 1.0)),
+                conf.train_epoch, max(steps // conf.train_epoch, 1)))
+        else:
+            mm_arr = None
+        if bool(getattr(conf, "mrh_sche", False)):
+            mrh_arr = jnp.asarray(cosine_array(
+                float(getattr(conf, "mask_ratio_h", 0.0)), 0.0,
+                conf.train_epoch, max(steps // conf.train_epoch, 1)))
+        else:
+            mrh_arr = None
 
         @jax.jit
         def step(state, bag, rng):
+            mm = (mm_arr[jnp.minimum(state.step, len(mm_arr) - 1)]
+                  if mm_arr is not None else mm0)
+            mrh = (mrh_arr[jnp.minimum(state.step, len(mrh_arr) - 1)]
+                   if mrh_arr is not None else None)
             valid = bag.mask.any(axis=1)
             s_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
             rngs = {"stkim": s_rng, "dropout": d_rng}
@@ -294,7 +314,8 @@ class MHIMFamily(Family):
             def loss_fn(params):
                 out = model.apply({"params": params}, bag.feats, bag.mask,
                                   deterministic=False,
-                                  teacher_attn=tea_attn, rngs=rngs)
+                                  teacher_attn=tea_attn,
+                                  mask_ratio_h=mrh, rngs=rngs)
                 ce = L.cross_entropy(out["logits"], bag.label, valid)
                 cl = soft_target_ce(out["cls_feat"], tea_feat) if cl_alpha > 0 else 0.0
                 return cls_alpha * ce + cl_alpha * cl, {
