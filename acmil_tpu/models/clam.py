@@ -47,6 +47,20 @@ def _binary_ce(logits, target, slot_valid):
     return jnp.sum(nll * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)  # [B]
 
 
+def _binary_svm(logits, target, slot_valid):
+    """Smooth top-1 SVM alternative instance loss (the reference's
+    optional ``SmoothTop1SVM`` from `modules/clam.py:5`)."""
+    from acmil_tpu.ops.topk_svm import smooth_top1_svm_loss
+
+    b, k, _ = logits.shape
+    labels = jnp.full((b, k), target, jnp.int32)
+    losses = []
+    for i in range(b):  # small static b; keeps per-bag weighting identical
+        losses.append(smooth_top1_svm_loss(logits[i], labels[i],
+                                           valid=slot_valid[i]))
+    return jnp.stack(losses)
+
+
 class _CLAMBase(nn.Module):
     n_class: int
     d_inner: int = 128      # size[1]
@@ -56,6 +70,7 @@ class _CLAMBase(nn.Module):
     droprate: float = 0.25
     subtyping: Optional[bool] = None
     multi_branch: bool = False
+    inst_loss: str = "ce"   # 'ce' | 'svm' (SmoothTop1SVM, modules/clam.py:5)
 
     def _subtyping(self):
         return self.n_class > 2 if self.subtyping is None else self.subtyping
@@ -108,6 +123,7 @@ class _CLAMBase(nn.Module):
         onehot = jax.nn.one_hot(label, self.n_class)            # [B, C]
         losses_in = []
         losses_out = []
+        loss_fn = _binary_svm if self.inst_loss == "svm" else _binary_ce
         for c in range(self.n_class):
             Ac = A[:, c] if self.multi_branch else A[:, 0]      # [B, N]
             top_p, v_p = _topk_gather(Ac, h, mask, k)
@@ -115,9 +131,9 @@ class _CLAMBase(nn.Module):
             logit_p = jnp.einsum("bkd,dt->bkt", top_p, wc[c]) + bc[c]
             logit_n = jnp.einsum("bkd,dt->bkt", top_n, wc[c]) + bc[c]
             # in-the-class: top-k → positive, bottom-k → negative
-            in_loss = 0.5 * (_binary_ce(logit_p, 1, v_p) + _binary_ce(logit_n, 0, v_n))
+            in_loss = 0.5 * (loss_fn(logit_p, 1, v_p) + loss_fn(logit_n, 0, v_n))
             # out-of-class (subtyping): top-k → negative
-            out_loss = _binary_ce(logit_p, 0, v_p)
+            out_loss = loss_fn(logit_p, 0, v_p)
             losses_in.append(in_loss)
             losses_out.append(out_loss)
         in_l = jnp.stack(losses_in, axis=-1)                    # [B, C]
@@ -143,9 +159,11 @@ class CLAM_MB(_CLAMBase):
 
 @register_model("clam_sb", family="clam")
 def _clam_sb(conf):
-    return CLAM_SB(n_class=conf.n_class, d_inner=conf.D_inner)
+    return CLAM_SB(n_class=conf.n_class, d_inner=conf.D_inner,
+                   inst_loss=str(getattr(conf, "inst_loss", "ce")))
 
 
 @register_model("clam_mb", family="clam")
 def _clam_mb(conf):
-    return CLAM_MB(n_class=conf.n_class, d_inner=conf.D_inner)
+    return CLAM_MB(n_class=conf.n_class, d_inner=conf.D_inner,
+                   inst_loss=str(getattr(conf, "inst_loss", "ce")))

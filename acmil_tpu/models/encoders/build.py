@@ -84,17 +84,21 @@ class CustomModel(nn.Module):
         return logits
 
 
-def build_encoder(conf, dtype=jnp.bfloat16):
+def build_encoder(conf, dtype=jnp.bfloat16, fast: bool = True):
     """Returns (model, spec, params_or_None).
 
     Params are converted from ``conf.pretrain_weights`` when given;
-    otherwise None (caller initialises randomly).
+    otherwise None (caller initialises randomly). ``fast=True`` uses the
+    bf16 attention softmax for ViTs (inference-only, ~13% faster; see
+    BENCH_NOTES.md).
     """
     key = (conf.pretrain, conf.backbone)
     spec = ENCODER_SPECS.get(key)
     if spec is None:
         raise ValueError(f"unknown encoder {key}; have {sorted(ENCODER_SPECS)}")
     encoder = spec.builder(dtype)
+    if fast and isinstance(encoder, ViT) and dtype == jnp.bfloat16:
+        encoder = encoder.clone(softmax_f32=False)
     model = CustomModel(encoder=encoder, n_class=conf.n_class)
 
     variables = None
