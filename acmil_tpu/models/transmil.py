@@ -40,6 +40,7 @@ class NystromAttention(nn.Module):
     residual: bool = True
     residual_conv_kernel: int = 33
     droprate: float = 0.0
+    dtype: jnp.dtype = jnp.float32   # bf16: ~2x faster inference
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -59,7 +60,7 @@ class NystromAttention(nn.Module):
             else:
                 mask = jnp.pad(jnp.ones((b, n), bool), ((0, 0), (pad, 0)))
 
-        qkv = nn.Dense(inner * 3, use_bias=False)(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):
@@ -79,7 +80,7 @@ class NystromAttention(nn.Module):
             out = out + depthwise_seq_conv(v, w)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
-        out = nn.Dense(self.dim)(out)
+        out = nn.Dense(self.dim, dtype=self.dtype)(out).astype(jnp.float32)
         out = nn.Dropout(self.droprate)(out, deterministic=deterministic)
         out = out[:, -n:]
         if return_attn_rows:
@@ -91,6 +92,7 @@ class TransLayer(nn.Module):
     """Pre-norm Nystrom block with residual (`transMIL.py:8-28`)."""
 
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -98,7 +100,7 @@ class TransLayer(nn.Module):
         attn = NystromAttention(
             dim=self.dim, dim_head=self.dim // 8, heads=8,
             num_landmarks=self.dim // 2, pinv_iterations=6,
-            residual=True, droprate=0.1)
+            residual=True, droprate=0.1, dtype=self.dtype)
         y = nn.LayerNorm()(x)
         if return_attn_rows:
             y, rows = attn(y, mask, deterministic, return_attn_rows)
@@ -147,12 +149,14 @@ def _grid_shape(n: int):
 class TransMIL(nn.Module):
     n_class: int
     d_inner: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
         b, n, _ = feats.shape
-        h = nn.relu(nn.Dense(self.d_inner)(feats))               # [B, N, L]
+        h = nn.relu(nn.Dense(self.d_inner, dtype=self.dtype)(feats))  # [B,N,L]
+        h = h.astype(jnp.float32)
         gh, gw = _grid_shape(n)
         grid_n = gh * gw
         if grid_n > n:  # pad to fill the grid (masked slots)
@@ -174,13 +178,15 @@ class TransMIL(nn.Module):
         def rezero(t):
             return t * full_mask[..., None].astype(t.dtype) if full_mask is not None else t
 
-        h = rezero(TransLayer(self.d_inner)(h, full_mask, deterministic))
+        h = rezero(TransLayer(self.d_inner, self.dtype)(h, full_mask,
+                                                        deterministic))
         h = rezero(PPEG(self.d_inner)(h, gh, gw))
         if return_attn:
-            h, rows = TransLayer(self.d_inner)(h, full_mask, deterministic,
-                                               return_attn_rows=1)
+            h, rows = TransLayer(self.d_inner, self.dtype)(
+                h, full_mask, deterministic, return_attn_rows=1)
         else:
-            h = TransLayer(self.d_inner)(h, full_mask, deterministic)
+            h = TransLayer(self.d_inner, self.dtype)(h, full_mask,
+                                                     deterministic)
         cls_out = nn.LayerNorm()(h[:, 0])
         logits = nn.Dense(self.n_class)(cls_out)
         if return_attn:
@@ -191,4 +197,8 @@ class TransMIL(nn.Module):
 
 @register_model("transmil")
 def _transmil(conf):
-    return TransMIL(n_class=conf.n_class, d_inner=conf.D_inner)
+    import jax.numpy as _jnp
+
+    dt = _jnp.bfloat16 if str(getattr(conf, "compute_dtype", "float32")) == "bfloat16" \
+        else _jnp.float32
+    return TransMIL(n_class=conf.n_class, d_inner=conf.D_inner, dtype=dt)

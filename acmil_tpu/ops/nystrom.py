@@ -36,7 +36,10 @@ from acmil_tpu.ops.masked import masked_softmax
 
 def newton_schulz_pinv(x: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     """Moore-Penrose pseudo-inverse by the cubic Newton iteration used by
-    Nystromformer (`nystrom_attention.py:12-27`)."""
+    Nystromformer (`nystrom_attention.py:12-27`). Runs in f32 regardless of
+    input dtype — the iteration is numerically touchy in bf16, and the
+    m x m matrices are tiny."""
+    x = x.astype(jnp.float32)
     abs_x = jnp.abs(x)
     col = abs_x.sum(axis=-1)
     row = abs_x.sum(axis=-2)

@@ -128,3 +128,21 @@ def test_dsmil_outputs(tiny_conf):
     assert inst.shape == (2, 64, 2)
     assert bag_logits.shape == (2, 2)
     assert attn.shape == (2, 2, 64)
+
+
+def test_transmil_bf16_matches_f32(tiny_conf):
+    """The bf16 inference path must track f32 logits closely."""
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.transmil import TransMIL
+
+    rs = np.random.RandomState(0)
+    feats = jnp.asarray(rs.randn(1, 256, 32), jnp.float32)
+    mask = jnp.asarray(np.arange(256)[None] < 200)
+    m32 = TransMIL(n_class=2, d_inner=64, dtype=jnp.float32)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, feats, mask)
+    m16 = TransMIL(n_class=2, d_inner=64, dtype=jnp.bfloat16)
+    out32 = m32.apply(v, feats, mask, deterministic=True)
+    out16 = m16.apply(v, feats, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.1, atol=0.05)
