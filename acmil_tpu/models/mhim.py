@@ -100,6 +100,7 @@ class SAttentionEncoder(nn.Module):
     dim: int = 512
     heads: int = 8
     pos: str = "ppeg"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -124,11 +125,11 @@ class SAttentionEncoder(nn.Module):
 
         attns = []
         if return_attn:
-            h, a1 = TransLayer(self.dim)(h, fmask, deterministic,
-                                         return_attn_rows=1)
+            h, a1 = TransLayer(self.dim, self.dtype)(h, fmask, deterministic,
+                                                     return_attn_rows=1)
             attns.append(a1[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim)(h, fmask, deterministic)
+            h = TransLayer(self.dim, self.dtype)(h, fmask, deterministic)
         if self.pos == "ppeg":
             h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
         elif self.pos in ("peg", "sincos"):
@@ -138,11 +139,11 @@ class SAttentionEncoder(nn.Module):
             body = emb(h[:, 1:], gh, gw)
             h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
-            h, a2 = TransLayer(self.dim)(h, fmask, deterministic,
-                                         return_attn_rows=1)
+            h, a2 = TransLayer(self.dim, self.dtype)(h, fmask, deterministic,
+                                                     return_attn_rows=1)
             attns.append(a2[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim)(h, fmask, deterministic)
+            h = TransLayer(self.dim, self.dtype)(h, fmask, deterministic)
         cls_feat = nn.LayerNorm()(h[:, 0])
         if return_attn:
             return cls_feat, attns
@@ -183,6 +184,7 @@ class MHIM(nn.Module):
     attn_layer: int = 0
     msa_fusion: str = "vote"
     heads: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     def _embed(self, feats, deterministic):
         h = nn.Dense(self.mlp_dim)(feats)
@@ -191,7 +193,8 @@ class MHIM(nn.Module):
 
     def _encoder(self):
         if self.baseline == "selfattn":
-            return SAttentionEncoder(self.mlp_dim, self.heads)
+            return SAttentionEncoder(self.mlp_dim, self.heads,
+                                     dtype=self.dtype)
         return DAttentionEncoder(self.mlp_dim)
 
     @nn.compact
@@ -340,10 +343,14 @@ register_family(MHIMFamily())
 
 @register_model("mhim", family="mhim")
 def _mhim(conf):
+    import jax.numpy as _jnp
+
     return MHIM(
         n_class=conf.n_class,
         mlp_dim=int(getattr(conf, "mlp_dim", 512)),
         baseline=str(getattr(conf, "baseline", "selfattn")),
+        dtype=(_jnp.bfloat16 if str(getattr(conf, "compute_dtype", "float32"))
+               == "bfloat16" else _jnp.float32),
         mask_ratio=float(getattr(conf, "mask_ratio", 0.0)),
         mask_ratio_l=float(getattr(conf, "mask_ratio_l", 0.0)),
         mask_ratio_h=float(getattr(conf, "mask_ratio_h", 0.0)),
