@@ -63,8 +63,12 @@ ENCODER_SPECS = {
         lambda dt: resnet50(dt), 2048, 224, HALF_MEAN, HALF_STD, "resnet"),
     ("path-clip-L-336", "ViT-L/336"): EncoderSpec(
         lambda dt: ViT(14, 1024, 24, 16, img_size=336, proj_dim=768,
-                       pre_norm=True, dtype=dt), 768, 336,
-        CLIP_MEAN, CLIP_STD, "vit", depth=24),
+                       pre_norm=True, act="quick_gelu", dtype=dt), 768, 336,
+        CLIP_MEAN, CLIP_STD, "clip_vit", depth=24),
+    ("openai-clip-L-336", "ViT-L/336"): EncoderSpec(
+        lambda dt: ViT(14, 1024, 24, 16, img_size=336, proj_dim=768,
+                       pre_norm=True, act="quick_gelu", dtype=dt), 768, 336,
+        CLIP_MEAN, CLIP_STD, "clip_vit", depth=24),
 }
 
 
@@ -109,6 +113,9 @@ def build_encoder(conf, dtype=jnp.bfloat16, fast: bool = True):
         sd = C.load_torch_checkpoint(wpath)
         if spec.converter == "vit":
             enc_params = C.convert_vit(sd, depth=spec.depth)
+            variables = {"params": {"encoder": enc_params}}
+        elif spec.converter == "clip_vit":
+            enc_params = C.convert_clip_vit(sd, depth=spec.depth)
             variables = {"params": {"encoder": enc_params}}
         else:
             enc_params, stats = C.convert_resnet(

@@ -93,6 +93,46 @@ def convert_resnet(state_dict: Dict, stage_sizes=(2, 2, 2, 2)) -> Tuple[Dict, Di
     return params, stats
 
 
+def convert_clip_vit(state_dict: Dict, depth: int = 24) -> Dict:
+    """OpenAI/open_clip visual tower state dict → flax ViT params
+    (for the `path-clip-L-336` / `openai-clip-L-336` encoders,
+    `Step3_WSI_classification_ACMIL.py:79-81` feature families).
+
+    open_clip layout: ``visual.conv1`` (bias-free patch embed),
+    ``class_embedding``, ``positional_embedding``, ``ln_pre``,
+    ``transformer.resblocks.N.{ln_1, attn.in_proj_*, attn.out_proj,
+    ln_2, mlp.c_fc, mlp.c_proj}``, ``ln_post``, ``proj``.
+    """
+    sd = {k[len("visual."):] if k.startswith("visual.") else k: v
+          for k, v in state_dict.items() if not k.startswith("text")}
+    dim = _t(sd["class_embedding"]).reshape(-1).shape[0]
+    p: Dict = {
+        "cls_token": _t(sd["class_embedding"]).reshape(1, 1, dim),
+        "pos_embed": _t(sd["positional_embedding"]).reshape(1, -1, dim),
+        "patch_embed": {
+            "kernel": _t(sd["conv1.weight"]).transpose(2, 3, 1, 0),
+            "bias": np.zeros((dim,), np.float32),  # CLIP conv1 is bias-free
+        },
+        "norm_pre": _ln(sd, "ln_pre"),
+        "norm": _ln(sd, "ln_post"),
+        "proj_out": {"kernel": _t(sd["proj"])},
+    }
+    for i in range(depth):
+        b = f"transformer.resblocks.{i}"
+        p[f"block{i}"] = {
+            "norm1": _ln(sd, f"{b}.ln_1"),
+            "norm2": _ln(sd, f"{b}.ln_2"),
+            "attn": {
+                "qkv": {"kernel": _t(sd[f"{b}.attn.in_proj_weight"]).T,
+                        "bias": _t(sd[f"{b}.attn.in_proj_bias"])},
+                "proj": _lin(sd, f"{b}.attn.out_proj"),
+            },
+            "mlp": {"Dense_0": _lin(sd, f"{b}.mlp.c_fc"),
+                    "Dense_1": _lin(sd, f"{b}.mlp.c_proj")},
+        }
+    return p
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     import torch
 

@@ -24,11 +24,15 @@ class MlpBlock(nn.Module):
     dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    act: str = "gelu"   # 'gelu' | 'quick_gelu' (OpenAI CLIP)
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        if self.act == "quick_gelu":
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
@@ -66,6 +70,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
@@ -73,7 +78,7 @@ class ViTBlock(nn.Module):
                               self.softmax_f32, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
         x = x + MlpBlock(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                         name="mlp")(
+                         self.act, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
         return x
 
@@ -91,6 +96,7 @@ class ViT(nn.Module):
     pre_norm: bool = False           # CLIP applies LN before the blocks
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
+    act: str = "gelu"
 
     @property
     def embed_dim(self) -> int:
@@ -114,7 +120,7 @@ class ViT(nn.Module):
             x = nn.LayerNorm(epsilon=1e-6, name="norm_pre")(x)
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
-                         self.softmax_f32, name=f"block{i}")(x)
+                         self.softmax_f32, self.act, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         feat = x[:, 0]
         if self.proj_dim:

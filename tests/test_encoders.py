@@ -170,3 +170,49 @@ def test_resnet_converter_shapes():
     out = m.apply({"params": params, "batch_stats": stats},
                   jnp.ones((1, 64, 64, 3)))
     assert out.shape == (1, 512)
+
+
+def test_clip_converter_shapes():
+    """open_clip visual state dict (zero-filled, right shapes) converts to
+    the exact flax tree and forwards."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.encoders.convert import convert_clip_vit
+
+    dim, depth, heads, patch, img, proj = 32, 2, 2, 8, 16, 24
+    n_tok = (img // patch) ** 2 + 1
+    sd = {
+        "visual.conv1.weight": torch.zeros(dim, 3, patch, patch),
+        "visual.class_embedding": torch.zeros(dim),
+        "visual.positional_embedding": torch.zeros(n_tok, dim),
+        "visual.ln_pre.weight": torch.ones(dim),
+        "visual.ln_pre.bias": torch.zeros(dim),
+        "visual.ln_post.weight": torch.ones(dim),
+        "visual.ln_post.bias": torch.zeros(dim),
+        "visual.proj": torch.zeros(dim, proj),
+    }
+    for i in range(depth):
+        b = f"visual.transformer.resblocks.{i}"
+        sd.update({
+            f"{b}.ln_1.weight": torch.ones(dim), f"{b}.ln_1.bias": torch.zeros(dim),
+            f"{b}.ln_2.weight": torch.ones(dim), f"{b}.ln_2.bias": torch.zeros(dim),
+            f"{b}.attn.in_proj_weight": torch.zeros(3 * dim, dim),
+            f"{b}.attn.in_proj_bias": torch.zeros(3 * dim),
+            f"{b}.attn.out_proj.weight": torch.zeros(dim, dim),
+            f"{b}.attn.out_proj.bias": torch.zeros(dim),
+            f"{b}.mlp.c_fc.weight": torch.zeros(4 * dim, dim),
+            f"{b}.mlp.c_fc.bias": torch.zeros(4 * dim),
+            f"{b}.mlp.c_proj.weight": torch.zeros(dim, 4 * dim),
+            f"{b}.mlp.c_proj.bias": torch.zeros(dim),
+        })
+    params = convert_clip_vit(sd, depth=depth)
+    m = ViT(patch=patch, dim=dim, depth=depth, heads=heads, img_size=img,
+            proj_dim=proj, pre_norm=True, act="quick_gelu")
+    ref = m.init(jax.random.PRNGKey(0), jnp.ones((1, img, img, 3)))
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    assert ref_shapes == got_shapes
+    out = m.apply({"params": params}, jnp.ones((1, img, img, 3)))
+    assert out.shape == (1, proj)
