@@ -109,9 +109,15 @@ class DSMILFamily(Family):
 
     def loss(self, outputs, bag, valid, conf_d):
         max_preds, bag_logits = self._max_inst(outputs, bag)
-        loss = 0.5 * L.cross_entropy(max_preds, bag.label, valid) \
+        ce = 0.5 * L.cross_entropy(max_preds, bag.label, valid) \
             + 0.5 * L.cross_entropy(bag_logits, bag.label, valid)
-        return loss, {"ce_loss": loss}
+        # reference adds w_loss * pairwise attention diversity when
+        # n_token > 1 (`engine.py:50-58`)
+        n_tok = min(conf_d["n_token"], outputs[2].shape[1])
+        div = L.attention_diversity_loss(outputs[2][:, :n_tok], bag.mask,
+                                         n_tok, valid)
+        loss = ce + conf_d["w_loss"] * div
+        return loss, {"ce_loss": ce, "diff_loss": div}
 
     def eval_outputs(self, apply_fn, params, bag):
         out = apply_fn({"params": params}, bag.feats, bag.mask,

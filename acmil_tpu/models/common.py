@@ -54,6 +54,20 @@ class DimReduction(nn.Module):
         return x
 
 
+class DimReduction1(nn.Module):
+    """Residual-input variant: relu(x + fc(x)) (`network.py:61-83`)."""
+
+    dim: int
+    n_res: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(x + nn.Dense(self.dim)(x))
+        for _ in range(self.n_res):
+            h = ResidualBlock(self.dim)(h)
+        return h
+
+
 class AttentionGated(nn.Module):
     """Ilse-style gated attention scorer (`transformer.py:239-266`).
 

@@ -90,6 +90,27 @@ def segment_tissue(
                               seg_level, ds, binary)
 
 
+def save_segmentation(seg: SegmentationResult, path: str) -> None:
+    """Persist contours+holes for resume (`saveSegmentation`,
+    `WholeSlideImage.py:94-97` pkl format)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump({"tissue": seg.contours, "holes": seg.holes,
+                     "seg_level": seg.seg_level,
+                     "downsample": seg.downsample}, f)
+
+
+def load_segmentation(path: str) -> SegmentationResult:
+    """`initSegmentation` (`WholeSlideImage.py:88-92`)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return SegmentationResult(d["tissue"], d["holes"],
+                              d.get("seg_level", 0), d.get("downsample", 1.0))
+
+
 def scale_contours(contours: List[np.ndarray], scale: float) -> List[np.ndarray]:
     """Scale contours to level-0 coordinates (`WholeSlideImage.py:scaleContourDim`)."""
     return [np.asarray(c * scale, np.int32) for c in contours]
