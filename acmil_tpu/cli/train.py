@@ -45,6 +45,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from checkpoint-last in ckpt_dir (full "
+                        "optimizer state; the reference saved but never "
+                        "reloaded it)")
     return p
 
 
@@ -99,10 +103,23 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
     ckpt = CheckpointManager(conf.ckpt_dir)
     best: dict = {}
-    for epoch in range(conf.train_epoch):
+    start_epoch = 0
+    if bool(getattr(conf, "resume", False)) and ckpt.exists("last"):
+        state = ckpt.restore("last", state)
+        meta = ckpt.load_meta("last")
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"resumed from epoch {start_epoch - 1} "
+              f"(step {int(state.step)})")
+
+    for epoch in range(start_epoch, conf.train_epoch):
         logger = MetricLogger()
         state, stats = train_one_epoch(state, train_step, train_loader, rng,
                                        epoch, logger)
+        if not np.isfinite(stats.get("loss", 0.0)):
+            # failure detection: surface divergence instead of burning the
+            # remaining epochs (reference has no equivalent, SURVEY §5.3)
+            raise RuntimeError(
+                f"non-finite training loss at epoch {epoch}: {stats}")
         print(f"Epoch [{epoch}] {logger}")
         writer.log({f"train/{k}": v for k, v in stats.items()}, commit=False)
 

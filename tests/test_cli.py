@@ -72,3 +72,17 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     meta = mgr.load_meta("best")
     assert meta["epoch"] == 3 and meta["metrics"]["auc"] == 0.9
+
+
+def test_resume_training(tmp_path):
+    """--resume restores epoch counter + full optimizer state."""
+    conf = _setup(tmp_path, arch="abmil", epochs=2)
+    run_training(conf)
+    meta1 = json.load(open(str(tmp_path / "ckpt" / "checkpoint-last.json")))
+    assert meta1["epoch"] == 1
+    # extend to 4 epochs and resume
+    conf.train_epoch = 4
+    conf.extra["resume"] = True
+    run_training(conf)
+    meta2 = json.load(open(str(tmp_path / "ckpt" / "checkpoint-last.json")))
+    assert meta2["epoch"] == 3
