@@ -1,0 +1,238 @@
+"""Numerical parity against the reference torch implementation.
+
+Loads the actual reference models from /root/reference (read-only), maps
+their torch weights into our flax trees, and compares forward outputs on
+identical bags. Skipped automatically when the reference checkout or torch
+is unavailable (these tests document parity; the rest of the suite is
+self-contained).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REF):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+class _Conf(types.SimpleNamespace):
+    pass
+
+
+def _lin(mod):
+    return {"kernel": mod.weight.detach().numpy().T.copy(),
+            **({"bias": mod.bias.detach().numpy().copy()}
+               if mod.bias is not None else {})}
+
+
+@pytest.fixture(scope="module")
+def bag():
+    rs = np.random.RandomState(0)
+    return rs.randn(1, 200, 48).astype(np.float32)
+
+
+def test_acmil_ga_parity(bag):
+    from architecture.transformer import ACMIL_GA as TorchACMIL
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.acmil import ACMIL_GA
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2, n_token=3)
+    tm = TorchACMIL(conf, D=16, n_token=3, n_masked_patch=0, mask_drop=0)
+    tm.eval()
+
+    # map torch params -> flax tree
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "AttentionGated_0": {
+            "Dense_0": _lin(tm.attention.attention_V[0]),
+            "Dense_1": _lin(tm.attention.attention_U[0]),
+            "Dense_2": _lin(tm.attention.attention_weights),
+        },
+        "branch_w": np.stack([c.fc.weight.detach().numpy().T
+                              for c in tm.classifier]),
+        "branch_b": np.stack([c.fc.bias.detach().numpy()
+                              for c in tm.classifier]),
+        "Classifier1fc_0": {"Dense_0": _lin(tm.Slide_classifier.fc)},
+    }
+
+    with torch.no_grad():
+        t_sub, t_slide, t_attn = tm(torch.from_numpy(bag))
+
+    fm = ACMIL_GA(n_class=2, d_inner=32, d_attn=16, n_token=3)
+    f_sub, f_slide, f_attn = fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(f_sub[0]), t_sub.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_slide), t_slide.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_attn), t_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_abmil_parity(bag):
+    from architecture.transformer import ABMIL as TorchABMIL
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.acmil import ABMIL
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchABMIL(conf, D=16)
+    tm.eval()
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "AttentionGated_0": {
+            "Dense_0": _lin(tm.attention.attention_V[0]),
+            "Dense_1": _lin(tm.attention.attention_U[0]),
+            "Dense_2": _lin(tm.attention.attention_weights),
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(tm.classifier.fc)},
+    }
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(bag))
+    fm = ABMIL(n_class=2, d_inner=32, d_attn=16)
+    f_out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                     jnp.asarray(bag), jnp.ones((1, 200), bool),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dsmil_parity(bag):
+    # reference dsmil.py imports torchvision at module level but never
+    # uses it in the classes under test — stub it out
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    from architecture.dsmil import BClassifier, FCLayer, MILNet
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.dsmil import DSMIL
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = MILNet(FCLayer(48, 2), BClassifier(conf, nonlinear=False))
+    tm.eval()
+
+    params = {
+        "Dense_0": _lin(tm.i_classifier.fc[0]),    # FCLayer wraps a Sequential
+        "Dense_1": _lin(tm.b_classifier.q),        # linear q (nonlinear=False)
+        "fcc_w": tm.b_classifier.fcc.weight.detach().numpy().reshape(2, -1).copy(),
+        "fcc_b": tm.b_classifier.fcc.bias.detach().numpy().copy(),
+    }
+    with torch.no_grad():
+        t_inst, t_bag, t_attn = tm(torch.from_numpy(bag))
+
+    fm = DSMIL(n_class=2, d_feat=48, d_inner=32, nonlinear=False)
+    f_inst, f_bag, f_attn = fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(f_inst[0]), t_inst.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_bag), t_bag.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_attn[0]), t_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lbmil_parity(bag):
+    from architecture.lbmil import LBMIL as TorchLBMIL
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.lbmil import LBMIL
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchLBMIL(conf)
+    tm.eval()
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "cls_w": tm.classifier.weight.detach().numpy().T.copy(),
+        "cls_b": tm.classifier.bias.detach().numpy().copy(),
+    }
+    with torch.no_grad():
+        t_y, t_c, t_alpha = tm(torch.from_numpy(bag))
+    fm = LBMIL(n_class=2, d_inner=32)
+    f_y, f_alpha = fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True,
+        return_attn=True)
+    np.testing.assert_allclose(np.asarray(f_y[0]), t_y.numpy()[0],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_alpha[0, 0]), t_alpha.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_clam_sb_parity(bag):
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    # reference clam imports utils.utils which pulls wandb etc.; stub the
+    # two names it needs
+    fake_utils = types.ModuleType("utils.utils")
+    fake_utils.initialize_weights = lambda m: None
+    import torch.nn.functional as F
+
+    def softmax_one(x, dim=-1):
+        ex = torch.exp(x - torch.clamp(x.max(dim=dim, keepdim=True).values,
+                                       min=0))
+        shift = torch.clamp(x.max(dim=dim, keepdim=True).values, min=0)
+        return ex / (ex.sum(dim=dim, keepdim=True) + torch.exp(-shift))
+
+    fake_utils.softmax_one = softmax_one
+    pkg = types.ModuleType("utils")
+    pkg.utils = fake_utils
+    sys.modules.setdefault("utils", pkg)
+    sys.modules.setdefault("utils.utils", fake_utils)
+
+    from architecture.clam import CLAM_SB as TorchCLAM
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.clam import CLAM_SB
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchCLAM(conf, dropout=False)
+    tm.eval()
+    # attention_net = Sequential(Linear, ReLU, Attn_Net_Gated)
+    stem = tm.attention_net[0]
+    ang = tm.attention_net[2]
+    params = {
+        "Dense_0": _lin(stem),
+        "AttnNetGated_0": {
+            "Dense_0": _lin(ang.attention_a[0]),
+            "Dense_1": _lin(ang.attention_b[0]),
+            "Dense_2": _lin(ang.attention_c),
+        },
+        "Dense_1": _lin(tm.classifiers),
+        "inst_w": np.stack([c.weight.detach().numpy().T
+                            for c in tm.instance_classifiers]),
+        "inst_b": np.stack([c.bias.detach().numpy()
+                            for c in tm.instance_classifiers]),
+    }
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(bag))
+
+    fm = CLAM_SB(n_class=2, d_inner=32, d_attn=128, droprate=0.0)
+    out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(bag), jnp.ones((1, 200), bool),
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
