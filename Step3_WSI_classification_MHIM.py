@@ -20,7 +20,15 @@ def main():
     p.add_argument("--cls_alpha", type=float, default=1.0)
     p.add_argument("--cl_alpha", type=float, default=0.1)
     p.add_argument("--mm", type=float, default=0.9999, help="EMA decay")
+    p.add_argument("--mm_sche", action="store_true",
+                   help="cosine schedule of EMA decay")
+    p.add_argument("--mrh_sche", action="store_true",
+                   help="cosine decay of the high-attention mask ratio")
     p.add_argument("--mlp_dim", type=int, default=512)
+    p.add_argument("--teacher_init", type=str, default="",
+                   help="ckpt dir of a pretrained 'pure' run for the teacher")
+    p.add_argument("--init_stu_type", default="none", choices=["none", "all"],
+                   help="also initialise the student from teacher_init")
     args = p.parse_args()
     conf = load_conf(args)
     conf.arch = args.model

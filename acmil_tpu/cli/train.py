@@ -101,6 +101,21 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     train_step = make_train_step(model, conf, fam)
     eval_step = make_eval_step(model, fam)
 
+    # MHIM teacher initialisation from a pretrained 'pure' checkpoint
+    # (`Step3_MHIM:340-375`: teacher_init + init_stu_type none|fc|all)
+    teacher_init = getattr(conf, "teacher_init", "")
+    if teacher_init and hasattr(state, "teacher_params"):
+        tmgr = CheckpointManager(teacher_init)
+        tag = "best" if tmgr.exists("best") else "last"
+        raw = tmgr.restore_raw(tag)
+        import jax.numpy as jnp
+
+        loaded_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+        state = state.replace(teacher_params=loaded_params)
+        if str(getattr(conf, "init_stu_type", "none")) == "all":
+            state = state.replace(params=loaded_params)
+        print(f"teacher initialised from {teacher_init} ({tag})")
+
     ckpt = CheckpointManager(conf.ckpt_dir)
     best: dict = {}
     start_epoch = 0

@@ -46,6 +46,12 @@ class CheckpointManager:
         pytree)."""
         return self._ckpt.restore(self._path(tag), target=jax.device_get(target))
 
+    def restore_raw(self, tag: str):
+        """Restore as a raw pytree dict (no target structure) — for
+        cross-architecture param grafting (e.g. MHIM teacher init from a
+        'pure' checkpoint)."""
+        return self._ckpt.restore(self._path(tag))
+
     def load_meta(self, tag: str) -> Dict[str, Any]:
         with open(self._path(tag) + ".json") as f:
             return json.load(f)

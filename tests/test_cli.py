@@ -86,3 +86,18 @@ def test_resume_training(tmp_path):
     run_training(conf)
     meta2 = json.load(open(str(tmp_path / "ckpt" / "checkpoint-last.json")))
     assert meta2["epoch"] == 3
+
+
+def test_mhim_teacher_init(tmp_path):
+    """Pretrain 'pure', then init MHIM teacher from its checkpoint
+    (Step3_MHIM teacher_init protocol)."""
+    conf = _setup(tmp_path, arch="pure", epochs=1)
+    conf.extra["mlp_dim"] = 32
+    run_training(conf)
+    pure_ckpt = conf.ckpt_dir
+
+    conf2 = _setup(tmp_path / "m2", arch="mhim", epochs=1)
+    conf2.extra.update(dict(mlp_dim=32, mask_ratio=0.2, mask_ratio_h=0.1,
+                            teacher_init=pure_ckpt, init_stu_type="all"))
+    best = run_training(conf2)
+    assert "auc" in best

