@@ -236,3 +236,100 @@ def test_clam_sb_parity(bag):
                    deterministic=True)
     np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_acmil_mha_parity(bag):
+    """The K per-token torch attention modules vs our single vmapped
+    module with stacked-K params."""
+    from architecture.transformer import ACMIL_MHA as TorchMHA
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.acmil import ACMIL_MHA
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2, n_token=3)
+    tm = TorchMHA(conf, n_token=3, n_masked_patch=0, mask_drop=0)
+    tm.eval()
+
+    def stack(fn):
+        return np.stack([fn(sa) for sa in tm.sub_attention])
+
+    vm = {
+        "Dense_0": {"kernel": stack(lambda sa: sa.q_proj.weight.detach().numpy().T),
+                    "bias": stack(lambda sa: sa.q_proj.bias.detach().numpy())},
+        "Dense_1": {"kernel": stack(lambda sa: sa.k_proj.weight.detach().numpy().T),
+                    "bias": stack(lambda sa: sa.k_proj.bias.detach().numpy())},
+        "Dense_2": {"kernel": stack(lambda sa: sa.v_proj.weight.detach().numpy().T),
+                    "bias": stack(lambda sa: sa.v_proj.bias.detach().numpy())},
+        "Dense_3": {"kernel": stack(lambda sa: sa.out_proj.weight.detach().numpy().T),
+                    "bias": stack(lambda sa: sa.out_proj.bias.detach().numpy())},
+        "LayerNorm_0": {"scale": stack(lambda sa: sa.layer_norm.weight.detach().numpy()),
+                        "bias": stack(lambda sa: sa.layer_norm.bias.detach().numpy())},
+    }
+    ba = tm.bag_attention
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "q": tm.q.detach().numpy().copy(),
+        "VmapMultiHeadAttention_0": vm,
+        "branch_w": np.stack([c.fc.weight.detach().numpy().T
+                              for c in tm.classifier]),
+        "branch_b": np.stack([c.fc.bias.detach().numpy()
+                              for c in tm.classifier]),
+        "BagAttention_0": {
+            "Dense_0": _lin(ba.v_proj),
+            "Dense_1": _lin(ba.out_proj),
+            "LayerNorm_0": {"scale": ba.layer_norm.weight.detach().numpy(),
+                            "bias": ba.layer_norm.bias.detach().numpy()},
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(tm.Slide_classifier.fc)},
+    }
+    with torch.no_grad():
+        t_sub, t_slide, t_attn = tm(torch.from_numpy(bag))
+
+    fm = ACMIL_MHA(n_class=2, d_inner=32, n_token=3, num_heads=8)
+    f_sub, f_slide, f_attn = fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True)
+
+    # torch returns sub as cat over tokens [K, C]; attn as [H, K, N]
+    np.testing.assert_allclose(np.asarray(f_sub[0]), t_sub.numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_attn[0]), t_attn.numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_slide), t_slide.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ibmil_parity(bag):
+    from architecture.ibmil import IBMIL as TorchIBMIL
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.ibmil import IBMIL
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2, c_path=None)
+    tm = TorchIBMIL(conf)
+    tm.eval()
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "AttentionGated_0": {
+            "Dense_0": _lin(tm.attention.attention_V[0]),
+            "Dense_1": _lin(tm.attention.attention_U[0]),
+            "Dense_2": _lin(tm.attention.attention_weights),
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(tm.classifier.fc)},
+    }
+    with torch.no_grad():
+        t_logits, t_feat, t_attn = tm(torch.from_numpy(bag))
+    fm = IBMIL(n_class=2, d_inner=32, d_attn=128)
+    out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(bag), jnp.ones((1, 200), bool),
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["bag_feat"]), t_feat.numpy(),
+                               rtol=1e-4, atol=1e-5)
