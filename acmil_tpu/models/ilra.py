@@ -26,7 +26,10 @@ from acmil_tpu.ops.masked import masked_softmax
 
 class _MHA(nn.Module):
     """Pre-projection MHA with residual, LN, relu-FFN residual, optional
-    gate — `ilra.py:25-64`."""
+    gate — `ilra.py:25-64`. The reference composes TWO projections on each
+    stream: its own fc_q/fc_k/fc_v followed by ``nn.MultiheadAttention``'s
+    fused in-projection; the residual adds the fc_q output (NOT the
+    in-projected query), so both projection stages are kept."""
 
     dim_v: int
     num_heads: int
@@ -40,9 +43,13 @@ class _MHA(nn.Module):
         B, Nq, _ = q_in.shape
         Nk = k_in.shape[1]
 
-        q = nn.Dense(self.dim_v)(q_in)
-        k = nn.Dense(self.dim_v)(k_in)
-        v = nn.Dense(self.dim_v)(k_in)
+        q0 = nn.Dense(self.dim_v)(q_in)                 # fc_q (residual src)
+        k0 = nn.Dense(self.dim_v)(k_in)                 # fc_k
+        v0 = nn.Dense(self.dim_v)(k_in)                 # fc_v
+        # nn.MultiheadAttention's own in-projections
+        q = nn.Dense(self.dim_v)(q0)
+        k = nn.Dense(self.dim_v)(k0)
+        v = nn.Dense(self.dim_v)(v0)
 
         def split(t, n):
             return t.reshape(B, n, h, dh).transpose(0, 2, 1, 3)
@@ -53,13 +60,12 @@ class _MHA(nn.Module):
         attn = masked_softmax(logits, m)
         a = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v, Nk))
         a = a.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim_v)
-        # torch nn.MultiheadAttention applies an output projection
-        a = nn.Dense(self.dim_v)(a)
+        a = nn.Dense(self.dim_v)(a)                     # out_proj
 
-        o = q + a
+        o = q0 + a
         if self.ln:
             o = nn.LayerNorm()(o)
-        o = o + nn.relu(nn.Dense(self.dim_v)(o))
+        o = o + nn.relu(nn.Dense(self.dim_v)(o))        # fc_o
         if self.ln:
             o = nn.LayerNorm()(o)
         if self.gated:

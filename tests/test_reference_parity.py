@@ -333,3 +333,99 @@ def test_ibmil_parity(bag):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["bag_feat"]), t_feat.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_nystrom_core_parity():
+    """Our masked Nystrom core vs the reference's vendored NystromAttention
+    on a no-padding case (n % landmarks == 0, full mask) where both
+    definitions coincide."""
+    from architecture.nystrom_attention import NystromAttention as TorchNy
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.transmil import NystromAttention as FlaxNy
+
+    dim, heads, dh, m, n = 32, 4, 8, 8, 64
+    tm = TorchNy(dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+                 pinv_iterations=6, residual=True, dropout=0.0)
+    tm.eval()
+
+    params = {
+        "Dense_0": {"kernel": tm.to_qkv.weight.detach().numpy().T.copy()},
+        "res_conv": tm.res_conv.weight.detach().numpy()[:, 0, :, 0].copy(),
+        "Dense_1": _lin(tm.to_out[0]),
+    }
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, n, dim).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x)).numpy()
+
+    fm = FlaxNy(dim=dim, heads=heads, dim_head=dh, num_landmarks=m,
+                pinv_iterations=6, residual=True, droprate=0.0)
+    f_out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                     jnp.asarray(x), jnp.ones((1, n), bool),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_out), t_out, rtol=5e-4, atol=5e-4)
+
+
+def test_ilra_parity(bag):
+    from architecture.ilra import ILRA as TorchILRA
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.ilra import ILRA
+
+    tm = TorchILRA(num_layers=2, feat_dim=48, n_classes=2, hidden_feat=32,
+                   num_heads=4, topk=1, ln=True)
+    tm.eval()
+
+    def mha_params(mod):
+        """reference MultiHeadAttention (ilra.py:25) -> our _MHA tree
+        (fc_q/fc_k/fc_v, then the attention's fused in-projection thirds,
+        out_proj, fc_o, LNs, gate)."""
+        ipw = mod.multihead_attn.in_proj_weight.detach().numpy()
+        ipb = mod.multihead_attn.in_proj_bias.detach().numpy()
+        d = ipw.shape[1]
+        out = {
+            "Dense_0": _lin(mod.fc_q),
+            "Dense_1": _lin(mod.fc_k),
+            "Dense_2": _lin(mod.fc_v),
+            "Dense_3": {"kernel": ipw[:d].T.copy(), "bias": ipb[:d].copy()},
+            "Dense_4": {"kernel": ipw[d:2 * d].T.copy(),
+                        "bias": ipb[d:2 * d].copy()},
+            "Dense_5": {"kernel": ipw[2 * d:].T.copy(),
+                        "bias": ipb[2 * d:].copy()},
+            "Dense_6": _lin(mod.multihead_attn.out_proj),
+            "Dense_7": _lin(mod.fc_o),
+            "LayerNorm_0": {"scale": mod.ln0.weight.detach().numpy(),
+                            "bias": mod.ln0.bias.detach().numpy()},
+            "LayerNorm_1": {"scale": mod.ln1.weight.detach().numpy(),
+                            "bias": mod.ln1.bias.detach().numpy()},
+        }
+        if mod.gate is not None:
+            out["Dense_8"] = _lin(mod.gate[0])
+        return out
+
+    params = {}
+    for i, blk in enumerate(tm.gab_blocks):
+        params[f"GAB_{i}"] = {
+            "latent": blk.latent.detach().numpy().copy(),
+            "_MHA_0": mha_params(blk.project_forward),
+            "_MHA_1": mha_params(blk.project_backward),
+        }
+    params["NLP_0"] = {"seeds": tm.pooling.S.detach().numpy().copy(),
+                       "_MHA_0": mha_params(tm.pooling.mha)}
+    params["Dense_0"] = _lin(tm.classifier)
+
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(bag))
+
+    fm = ILRA(n_class=2, num_layers=2, hidden_feat=32, num_heads=4, topk=1,
+              ln=True)
+    f_out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                     jnp.asarray(bag), jnp.ones((1, 200), bool),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy().reshape(1, -1),
+                               rtol=5e-4, atol=5e-4)
