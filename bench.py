@@ -57,9 +57,12 @@ def main():
         return time.perf_counter() - t0
 
     _ = run_chain(2)  # warm/compile
-    k0, k1 = 16, 128
-    t0, t1 = run_chain(k0), run_chain(k1)
-    ms = max((t1 - t0) / (k1 - k0) * 1e3, 1e-6)
+    k0, k1 = 32, 256
+    diffs = []
+    for _ in range(3):
+        t0, t1 = run_chain(k0), run_chain(k1)
+        diffs.append((t1 - t0) / (k1 - k0) * 1e3)
+    ms = max(float(np.median(diffs)), 1e-6)
 
     baseline_ms = 5.0  # BASELINE.md: <5 ms/slide MIL inference target
     print(json.dumps({

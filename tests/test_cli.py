@@ -2,6 +2,7 @@
 
 import json
 import os
+import sys
 
 import jax
 import numpy as np
@@ -101,3 +102,29 @@ def test_mhim_teacher_init(tmp_path):
                             teacher_init=pure_ckpt, init_stu_type="all"))
     best = run_training(conf2)
     assert "auc" in best
+
+
+def test_predict_script(tmp_path, monkeypatch):
+    import importlib.util
+
+    conf = _setup(tmp_path, arch="ga", epochs=1)
+    run_training(conf)
+
+    spec = importlib.util.spec_from_file_location(
+        "predict", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "predict.py"))
+    mod = importlib.util.module_from_spec(spec)
+    cfg = tmp_path / "p.yml"
+    cfg.write_text(f"n_class: 2\ndataset: camelyon\nmin_bucket: 64\nB: 1\n"
+                   f"D_feat: 32\nD_inner: 16\nseed: 0\n")
+    out_csv = str(tmp_path / "preds.csv")
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--config", str(cfg), "--ckpt_dir", conf.ckpt_dir,
+        "--features", os.path.join(conf.data_dir,
+                                   "patch_feats_pretrain_medical_ssl.h5"),
+        "--out_csv", out_csv])
+    spec.loader.exec_module(mod)
+    mod.main()
+    lines = open(out_csv).read().splitlines()
+    assert lines[0].startswith("slide_id,label,prob_0,prob_1,pred")
+    assert len(lines) == 41  # 40 slides + header
