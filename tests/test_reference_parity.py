@@ -429,3 +429,116 @@ def test_ilra_parity(bag):
                      deterministic=True)
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy().reshape(1, -1),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_dtfd_parity_single_group():
+    """DTFD with numGroup=1 is deterministic up to patch permutation
+    (attention pooling and top/bottom-k selection are permutation
+    invariant), so the whole two-tier pipeline can be compared."""
+    from architecture.Attention import Attention_Gated as RefAttention
+    from architecture.Attention import Attention_with_Classifier
+    from architecture.network import Classifier_1fc, DimReduction as RefDR
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.dtfd import DTFD
+
+    rs = np.random.RandomState(3)
+    bag = rs.randn(1, 64, 48).astype(np.float32)
+    L, C, k = 32, 2, 2
+
+    dimred = RefDR(48, L)
+    attn = RefAttention(L, 16, 1)
+    cls1 = Classifier_1fc(L, C, 0)
+    ucls = Attention_with_Classifier(L=L, D=16, K=1, num_cls=C)
+    for m in (dimred, attn, cls1, ucls):
+        m.eval()
+
+    with torch.no_grad():
+        x = torch.from_numpy(bag[0])
+        mid = dimred(x)
+        a = torch.softmax(attn(mid, isNorm=False), dim=1)
+        att_feats = mid * a.t()
+        pooled = att_feats.sum(dim=0, keepdim=True)
+        t_tier1 = cls1(pooled)
+        # CAM distillation (get_cam_1d without bias)
+        cam = att_feats @ cls1.fc.weight.t()
+        prob = torch.softmax(cam, dim=1)[:, -1]
+        order = torch.argsort(prob, descending=True)
+        sel = torch.cat([order[:k], order[-k:]])
+        d_feat = mid[sel]
+        t_tier2 = ucls(d_feat)
+
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": dimred.fc1.weight.detach().numpy().T.copy()}},
+        "AttentionGated_0": {
+            "Dense_0": _lin(attn.attention_V[0]),
+            "Dense_1": _lin(attn.attention_U[0]),
+            "Dense_2": _lin(attn.attention_weights),
+        },
+        "tier1_w": cls1.fc.weight.detach().numpy().T.copy(),
+        "tier1_b": cls1.fc.bias.detach().numpy().copy(),
+        "AttentionGated_1": {
+            "Dense_0": _lin(ucls.attention.attention_V[0]),
+            "Dense_1": _lin(ucls.attention.attention_U[0]),
+            "Dense_2": _lin(ucls.attention.attention_weights),
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(ucls.classifier.fc)},
+    }
+    fm = DTFD(n_class=C, d_inner=L, d_attn=16, num_group=1,
+              instance_per_group=k, distill="MaxMinS")
+    out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(bag), jnp.ones((1, 64), bool),
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["sub_preds"][0]),
+                               t_tier1.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_tier2.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_bmil_vis_parity(bag, monkeypatch):
+    """BMIL-vis with the Gaussian noise suppressed: reference samples even
+    in eval (linear_vdo.py forward, bmil.py reparameterize); zeroing the
+    noise sources makes both sides the deterministic mean path."""
+    from architecture.bmil import probabilistic_MIL_Bayes_vis
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.bmil import BMILVis
+
+    tm = probabilistic_MIL_Bayes_vis(gate=True, dropout=False, n_classes=2)
+    tm.eval()
+    monkeypatch.setattr(torch, "normal",
+                        lambda mean, std: torch.zeros_like(mean))
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.zeros_like(t))
+
+    # reference vis hardcodes size [1024, 512, 256]
+    rs = np.random.RandomState(7)
+    big = rs.randn(1, 100, 1024).astype(np.float32)
+    with torch.no_grad():
+        t_top, t_prob, _, t_yprobs, t_attn = tm(torch.from_numpy(big[0]))
+
+    ang = tm.attention_net[2]
+    params = {
+        "Dense_0": _lin(tm.attention_net[0]),
+        "Dense_1": _lin(ang.attention_a[0]),
+        "Dense_2": _lin(ang.attention_b[0]),
+        "Dense_3": _lin(ang.attention_c),
+        "LinearVDO_0": {
+            "kernel": tm.classifiers.weight.detach().numpy().T.copy(),
+            "bias": tm.classifiers.bias.detach().numpy().copy(),
+            "log_alp": tm.classifiers.log_alp.detach().numpy().T.copy(),
+        },
+    }
+    fm = BMILVis(n_class=2, d_feat=1024, d_hidden=512, d_attn=256,
+                 droprate=0.0, with_kl=False)
+    out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(big), jnp.ones((1, 100), bool),
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_top.numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["attn"][0, 0]),
+                               t_attn.numpy()[0], rtol=2e-4, atol=2e-5)
