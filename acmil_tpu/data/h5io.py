@@ -24,6 +24,11 @@ import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
+# concurrent readers (loader prefetch threads, multi-host processes) must
+# not serialize on POSIX locks (reference does the same:
+# `Step2_feature_extract.py:3`, `Step3_*.py:4`)
+os.environ.setdefault("HDF5_USE_FILE_LOCKING", "FALSE")
+
 import h5py
 import numpy as np
 

@@ -40,8 +40,10 @@ K_OUT = 8  # sublane tile for the emitted attention-logit rows (branches)
 def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
             w_ref, bw_ref, bag_ref, logits_ref,
             m_scr, s_scr, acc_scr):
-    i = pl.program_id(0)
-    n_chunks = pl.num_programs(0)
+    # grid = (B, n_chunks); chunks iterate fastest, so the running stats
+    # reset at the first chunk of every bag
+    i = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _init():
@@ -49,7 +51,7 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
         s_scr[:] = jnp.zeros_like(s_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    x = feats_ref[:]                                   # [C, Df]
+    x = feats_ref[0]                                   # [C, Df]
     h = jnp.maximum(jnp.dot(x, w1_ref[:],
                             preferred_element_type=jnp.float32), 0.0)  # [C, L]
     av = jnp.tanh(jnp.dot(h, v_ref[:], preferred_element_type=jnp.float32)
@@ -59,11 +61,11 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
     logits = jnp.dot(av * au, w_ref[:],
                      preferred_element_type=jnp.float32) + bw_ref[:]  # [C, K]
 
-    valid = mask_ref[:] > 0                            # [C, 1]
+    valid = mask_ref[0] > 0                            # [C, 1]
     logits = jnp.where(valid, logits, NEG)
     # emit raw logits as [K_OUT, C] (sublane-major): 16x less HBM traffic
     # than a [C, 128-lane] layout when K is small
-    logits_ref[:] = jax.lax.slice(logits, (0, 0), (logits.shape[0], K_OUT)).T
+    logits_ref[0] = jax.lax.slice(logits, (0, 0), (logits.shape[0], K_OUT)).T
 
     # online softmax update, per branch k (K is the lane-tile axis of the
     # running stats; stats are [1, K] rows)
@@ -80,13 +82,13 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
 
     @pl.when(i == n_chunks - 1)
     def _final():
-        bag_ref[:] = acc_scr[:] / jnp.maximum(s_scr[:].T, 1e-12)
+        bag_ref[0] = acc_scr[:] / jnp.maximum(s_scr[:].T, 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def fused_gated_attn_pool(
-    feats: jnp.ndarray,       # [N, Df] float32/bf16
-    mask: jnp.ndarray,        # [N] bool
+def fused_gated_attn_pool_batched(
+    feats: jnp.ndarray,       # [B, N, Df] float32/bf16
+    mask: jnp.ndarray,        # [B, N] bool
     w1: jnp.ndarray,          # [Df, L]  (bias-free DimReduction)
     v: jnp.ndarray,           # [L, A]
     bv: jnp.ndarray,          # [A]
@@ -97,13 +99,16 @@ def fused_gated_attn_pool(
     chunk: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (bag_feats [K, L], attn_logits [K, N]).
+    """Batched fused pooling. Returns (bag_feats [B, K, L],
+    attn_logits [B, K, N]).
 
     K is padded to the 128-lane tile for the running stats and to
     ``K_OUT`` sublanes for the emitted logit rows; N must be a multiple of
-    ``chunk`` (bags are already bucketed to powers of two).
+    ``chunk`` (bags are already bucketed to powers of two). The grid is
+    (B, N/chunk) with chunks innermost so the online-softmax state resets
+    per bag.
     """
-    n, df = feats.shape
+    b, n, df = feats.shape
     l = w1.shape[1]
     a_dim = v.shape[1]
     k = w.shape[1]
@@ -113,33 +118,36 @@ def fused_gated_attn_pool(
     assert n % chunk == 0, (n, chunk)
 
     w_p = jnp.zeros((a_dim, k_pad), w.dtype).at[:, :k].set(w)
-    # padded branches get a huge negative bias so their softmax stats stay
-    # well-defined without polluting anything we read back
     bw_p = jnp.full((1, k_pad), 0.0, jnp.float32).at[0, :k].set(bw)
-    mask2 = mask.astype(jnp.int32)[:, None]
+    mask2 = mask.astype(jnp.int32)[..., None]
 
-    grid = (n // chunk,)
+    grid = (b, n // chunk)
+    const = lambda bi, i: (0, 0)
     bag, logits = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((chunk, df), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((df, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, a_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, a_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_dim, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, df), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((df, l), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, a_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, a_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_dim, k_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((k_pad, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_OUT, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, l), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_OUT, chunk), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((K_OUT, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((b, K_OUT, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, k_pad), jnp.float32),   # running max
@@ -148,7 +156,17 @@ def fused_gated_attn_pool(
         ],
         interpret=interpret,
     )(feats, mask2, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1), w_p, bw_p)
-    return bag[:k], logits[:k]
+    return bag[:, :k], logits[:, :k]
+
+
+def fused_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw,
+                          chunk: int = 1024, interpret: bool = False):
+    """Single-bag wrapper: feats [N, Df], mask [N] →
+    (bag_feats [K, L], attn_logits [K, N])."""
+    bag, logits = fused_gated_attn_pool_batched(
+        feats[None], mask[None], w1, v, bv, u, bu, w, bw,
+        chunk=chunk, interpret=interpret)
+    return bag[0], logits[0]
 
 
 def gated_attn_pool_reference(feats, mask, w1, v, bv, u, bu, w, bw):

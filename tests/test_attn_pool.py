@@ -83,3 +83,22 @@ def test_abmil_fast_path_matches_model():
                               chunk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_m[0]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_batched_kernel_matches_per_bag():
+    from acmil_tpu.ops.attn_pool import fused_gated_attn_pool_batched
+
+    rs = np.random.RandomState(5)
+    b, n, df = 3, 256, 64
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    ws = _weights(rs, df=df, k=4)
+    bag_b, log_b = fused_gated_attn_pool_batched(feats, mask, *ws, chunk=128,
+                                                 interpret=True)
+    for i in range(b):
+        bag_1, log_1 = fused_gated_attn_pool(feats[i], mask[i], *ws,
+                                             chunk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(bag_b[i]), np.asarray(bag_1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(log_b[i]), np.asarray(log_1),
+                                   rtol=1e-5, atol=1e-6)
