@@ -36,8 +36,9 @@ def accumulate_scores(scores: np.ndarray, coords: np.ndarray,
 
     # Each patch covers a ps x ps block: scatter its score to every cell of
     # a ps-downsampled grid, then upsample. Work on the block grid so the
-    # scatter is one op per patch, not ps^2.
-    gw, gh = cw // ps + 2, ch // ps + 2
+    # scatter is one op per patch, not ps^2. The grid exactly tiles the
+    # canvas (gw*ps >= cw), so the nearest upsample stays block-aligned.
+    gw, gh = -(-cw // ps), -(-ch // ps)
     bx = np.clip(xs // ps, 0, gw - 1)
     by = np.clip(ys // ps, 0, gh - 1)
     flat = jnp.asarray(by.astype(np.int64) * gw + bx)
@@ -51,9 +52,10 @@ def accumulate_scores(scores: np.ndarray, coords: np.ndarray,
     acc, cnt = scatter(jnp.asarray(scores, jnp.float32), flat)
     grid = np.asarray(acc).reshape(gh, gw)
     cnt = np.asarray(cnt).reshape(gh, gw)
-    canvas = cv2.resize(grid, (cw, ch), interpolation=cv2.INTER_NEAREST)
-    cover = cv2.resize((cnt > 0).astype(np.uint8), (cw, ch),
-                       interpolation=cv2.INTER_NEAREST)
+    canvas = cv2.resize(grid, (gw * ps, gh * ps),
+                        interpolation=cv2.INTER_NEAREST)[:ch, :cw]
+    cover = cv2.resize((cnt > 0).astype(np.uint8), (gw * ps, gh * ps),
+                       interpolation=cv2.INTER_NEAREST)[:ch, :cw]
     return canvas, cover
 
 
