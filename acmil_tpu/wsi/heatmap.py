@@ -75,8 +75,7 @@ def vis_heatmap(
     (`visHeatmap`, `WholeSlideImage.py:575`)."""
     scores = np.asarray(scores, np.float64).reshape(-1)
     if convert_to_percentiles:
-        scores = to_percentiles(scores)
-    scores = scores / 100.0
+        scores = to_percentiles(scores) / 100.0  # rank-normalise to [0, 1]
 
     w0, h0 = slide.dimensions
     if vis_level is None:
