@@ -32,6 +32,34 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
     return rankdata(scores, "average") / len(scores) * 100
 
 
+class MosaicCanvas:
+    """Packs fixed-size patches into a grid mosaic (`Mosaic_Canvas`,
+    `wsi_core/util_classes.py:6`) — used to assemble sampled-ROI sheets."""
+
+    def __init__(self, patch_size: int = 256, n: int = 100, downscale: int = 4,
+                 n_per_row: int = 10, alpha: float = -1):
+        self.patch = patch_size // downscale
+        self.n_per_row = n_per_row
+        n_rows = -(-n // n_per_row)
+        self.canvas = np.full((n_rows * self.patch, n_per_row * self.patch, 3),
+                              255, np.uint8)
+        self._i = 0
+        self.capacity = n
+
+    def paste(self, patch: np.ndarray) -> None:
+        if self._i >= self.capacity:
+            raise IndexError("mosaic canvas full")
+        if patch.shape[0] != self.patch:
+            patch = cv2.resize(patch[..., :3], (self.patch, self.patch))
+        r, c = divmod(self._i, self.n_per_row)
+        self.canvas[r * self.patch:(r + 1) * self.patch,
+                    c * self.patch:(c + 1) * self.patch] = patch[..., :3]
+        self._i += 1
+
+    def save(self, path: str) -> None:
+        cv2.imwrite(path, cv2.cvtColor(self.canvas, cv2.COLOR_RGB2BGR))
+
+
 def sample_rois(scores: np.ndarray, coords: np.ndarray, k: int = 5,
                 mode: str = "range_sample", seed: int = 1,
                 score_start: float = 0.45, score_end: float = 0.55,

@@ -106,3 +106,18 @@ def test_profile_trace_smoke(tmp_path):
     t = StepTimer()
     dt = t.tick()
     assert dt >= 0
+
+
+def test_mosaic_canvas(tmp_path):
+    from acmil_tpu.wsi.stitch import MosaicCanvas
+
+    mc = MosaicCanvas(patch_size=64, n=5, downscale=2, n_per_row=3)
+    rs = np.random.RandomState(0)
+    for _ in range(5):
+        mc.paste(rs.randint(0, 255, (64, 64, 3), np.uint8))
+    assert mc.canvas.shape == (2 * 32, 3 * 32, 3)
+    with pytest.raises(IndexError):
+        mc.paste(rs.randint(0, 255, (32, 32, 3), np.uint8))
+    out = str(tmp_path / "m.png")
+    mc.save(out)
+    assert os.path.exists(out)
