@@ -49,6 +49,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="resume from checkpoint-last in ckpt_dir (full "
                         "optimizer state; the reference saved but never "
                         "reloaded it)")
+    p.add_argument("--eval_only", "--eval-only", action="store_true",
+                   help="skip training; evaluate checkpoint-best on val+test")
     return p
 
 
@@ -117,6 +119,20 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         print(f"teacher initialised from {teacher_init} ({tag})")
 
     ckpt = CheckpointManager(conf.ckpt_dir)
+
+    if bool(getattr(conf, "eval_only", False)):
+        tag = "best" if ckpt.exists("best") else "last"
+        state = ckpt.restore(tag, state)
+        val_m = evaluate(state.params, eval_step, val_loader, conf.n_class)
+        test_m = evaluate(state.params, eval_step, test_loader, conf.n_class)
+        print(f"[eval-only, {tag}] val auc {val_m['auc']:.4f} "
+              f"f1 {val_m['f1']:.4f} | test auc {test_m['auc']:.4f} "
+              f"f1 {test_m['f1']:.4f}")
+        writer.finish()
+        out = dict(val_m)
+        out.update({f"test_{k}": v for k, v in test_m.items()})
+        return out
+
     best: dict = {}
     start_epoch = 0
     if bool(getattr(conf, "resume", False)) and ckpt.exists("last"):

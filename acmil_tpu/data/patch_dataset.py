@@ -22,6 +22,46 @@ import cv2
 import numpy as np
 
 
+class H5PatchBatches:
+    """Fixed-shape uint8 batches from patches stored IN the H5 file
+    (`Whole_Slide_Bag`, `dataset_h5.py:48`: an ``imgs`` dataset of
+    pre-extracted pixels + ``coords``), for pipelines that materialise
+    patches instead of reading slides live."""
+
+    def __init__(self, h5_path: str, target_size: int = 224,
+                 batch_size: int = 256, imgs_key: str = "imgs"):
+        import h5py
+
+        self.h5_path = h5_path
+        self.imgs_key = imgs_key
+        self.target = target_size
+        self.batch = batch_size
+        with h5py.File(h5_path, "r") as f:
+            self.n = f[imgs_key].shape[0]
+            self.coords = np.asarray(f["coords"][:]) if "coords" in f else \
+                np.zeros((self.n, 2), np.int64)
+
+    def __len__(self):
+        return -(-self.n // self.batch)
+
+    def __iter__(self):
+        import h5py
+
+        with h5py.File(self.h5_path, "r") as f:
+            dset = f[self.imgs_key]
+            for i in range(0, self.n, self.batch):
+                chunk = np.asarray(dset[i:i + self.batch])
+                n = len(chunk)
+                if chunk.shape[1] != self.target:
+                    chunk = np.stack([
+                        cv2.resize(c, (self.target, self.target))
+                        for c in chunk])
+                out = np.zeros((self.batch, self.target, self.target, 3),
+                               np.uint8)
+                out[:n] = chunk[..., :3]
+                yield out, self.coords[i:i + self.batch], n
+
+
 class SlidePatchBatches:
     """Iterate fixed-shape uint8 patch batches from (slide, coords)."""
 

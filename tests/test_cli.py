@@ -128,3 +128,11 @@ def test_predict_script(tmp_path, monkeypatch):
     lines = open(out_csv).read().splitlines()
     assert lines[0].startswith("slide_id,label,prob_0,prob_1,pred")
     assert len(lines) == 41  # 40 slides + header
+
+
+def test_eval_only(tmp_path):
+    conf = _setup(tmp_path, arch="abmil", epochs=1)
+    run_training(conf)
+    conf.extra["eval_only"] = True
+    out = run_training(conf)
+    assert "test_auc" in out and np.isfinite(out["test_auc"])

@@ -95,3 +95,24 @@ def test_gather_across_hosts_single_process():
     gp, gl = gather_across_hosts(p, l)
     np.testing.assert_array_equal(gp, p)
     np.testing.assert_array_equal(gl, l)
+
+
+def test_h5_patch_batches(tmp_path):
+    import h5py
+
+    from acmil_tpu.data.patch_dataset import H5PatchBatches
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 255, (10, 64, 64, 3), np.uint8)
+    coords = rs.randint(0, 1000, (10, 2))
+    p = str(tmp_path / "patches.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("coords", data=coords)
+    src = H5PatchBatches(p, target_size=32, batch_size=4)
+    assert len(src) == 3
+    total = 0
+    for batch, cds, n in src:
+        assert batch.shape == (4, 32, 32, 3)
+        total += n
+    assert total == 10
