@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 # concurrent readers (loader prefetch threads, multi-host processes) must
@@ -124,6 +125,17 @@ def _camelyon_names(file_path: str, conf) -> Tuple[List[str], List[str], List[st
         with open(split_file) as f:
             d = json.load(f)
         return d["train_names"], d["val_names"], d["test_names"]
+    # The reference protocol ALWAYS loads a frozen split JSON
+    # (`datasets/datasets.py:16-22`, splits/camelyon/split_{seed}.json with
+    # 242/27/129 slides). Falling back to a random split breaks
+    # comparability with every published number — never do it silently.
+    warnings.warn(
+        f"frozen split file {split_file!r} not found — falling back to a "
+        f"RANDOM train/val split (seed={conf.seed}). Results are NOT "
+        "comparable to the reference protocol; point conf.split_dir at the "
+        "shipped splits/ directory (splits/camelyon/split_{1..5}.json).",
+        stacklevel=2,
+    )
     with h5py.File(file_path, "r") as f:
         slide_names = list(f.keys())
     test = [n for n in slide_names if "test" in n]
@@ -156,6 +168,10 @@ def _lct_names(file_path: str, conf) -> Tuple[List[str], List[str], List[str]]:
         with open(split_file) as f:
             d = json.load(f)
         return d["train_names"], d["val_names"], d["test_names"]
+    warnings.warn(
+        f"frozen split file {split_file!r} not found — falling back to a "
+        f"RANDOM 60/20/20 split (seed={conf.seed}); results are NOT "
+        "comparable to the reference protocol.", stacklevel=2)
     with h5py.File(file_path, "r") as f:
         slide_names = list(f.keys())
     rng = random.Random(conf.seed)
