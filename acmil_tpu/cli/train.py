@@ -61,6 +61,38 @@ def load_conf(args) -> Config:
     return conf
 
 
+def init_teacher_student(state, conf):
+    """MHIM teacher initialisation from a pretrained 'pure' checkpoint
+    (`Step3_MHIM:340-375`: teacher_init + init_stu_type none|fc|all).
+
+    'fc' copies only the input projection into the student
+    (`Step3_MHIM:358-375` loads just model.patch_to_emb); 'all' copies
+    every matching parameter; 'none' leaves the fresh student untouched.
+    """
+    teacher_init = getattr(conf, "teacher_init", "")
+    if not (teacher_init and hasattr(state, "teacher_params")):
+        return state
+    import jax.numpy as jnp
+
+    tmgr = CheckpointManager(teacher_init)
+    tag = "best" if tmgr.exists("best") else "last"
+    raw = tmgr.restore_raw(tag)
+    loaded_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+    state = state.replace(teacher_params=loaded_params)
+    stu_type = str(getattr(conf, "init_stu_type", "none"))
+    if stu_type == "all":
+        state = state.replace(params=loaded_params)
+    elif stu_type == "fc":
+        params = dict(state.params)
+        params["patch_to_emb"] = loaded_params["patch_to_emb"]
+        state = state.replace(params=params)
+    elif stu_type != "none":
+        raise ValueError(f"init_stu_type must be none|fc|all, got {stu_type!r}")
+    print(f"teacher initialised from {teacher_init} ({tag}), "
+          f"student init: {stu_type}")
+    return state
+
+
 def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     set_seed(conf.seed)
     writer = MetricsWriter(mode=conf.wandb_mode, log_dir=conf.log_dir,
@@ -103,20 +135,7 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     train_step = make_train_step(model, conf, fam)
     eval_step = make_eval_step(model, fam)
 
-    # MHIM teacher initialisation from a pretrained 'pure' checkpoint
-    # (`Step3_MHIM:340-375`: teacher_init + init_stu_type none|fc|all)
-    teacher_init = getattr(conf, "teacher_init", "")
-    if teacher_init and hasattr(state, "teacher_params"):
-        tmgr = CheckpointManager(teacher_init)
-        tag = "best" if tmgr.exists("best") else "last"
-        raw = tmgr.restore_raw(tag)
-        import jax.numpy as jnp
-
-        loaded_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
-        state = state.replace(teacher_params=loaded_params)
-        if str(getattr(conf, "init_stu_type", "none")) == "all":
-            state = state.replace(params=loaded_params)
-        print(f"teacher initialised from {teacher_init} ({tag})")
+    state = init_teacher_student(state, conf)
 
     ckpt = CheckpointManager(conf.ckpt_dir)
 

@@ -187,7 +187,9 @@ class MHIM(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _embed(self, feats, deterministic):
-        h = nn.Dense(self.mlp_dim)(feats)
+        # named after the reference's input projection so 'fc' student init
+        # can copy exactly this subtree (`Step3_MHIM:358-375` patch_to_emb)
+        h = nn.Dense(self.mlp_dim, name="patch_to_emb")(feats)
         h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
         return nn.Dropout(self.droprate)(h, deterministic=deterministic)
 

@@ -136,3 +136,51 @@ def test_eval_only(tmp_path):
     conf.extra["eval_only"] = True
     out = run_training(conf)
     assert "test_auc" in out and np.isfinite(out["test_auc"])
+
+
+def test_mhim_student_init_fc(tmp_path):
+    """init_stu_type='fc' copies ONLY the input projection from the
+    teacher checkpoint (`Step3_MHIM:358-375` patch_to_emb branch)."""
+    import jax.numpy as jnp
+    import pytest
+    from acmil_tpu.cli.train import init_teacher_student
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.engine.checkpoint import CheckpointManager
+    from acmil_tpu.engine.train import create_train_state
+    from acmil_tpu.models import build_mil_model
+
+    conf = _setup(tmp_path, arch="pure", epochs=1)
+    conf.extra["mlp_dim"] = 32
+    run_training(conf)
+    pure_ckpt = conf.ckpt_dir
+    raw = CheckpointManager(pure_ckpt).restore_raw("best")
+
+    conf2 = _setup(tmp_path / "m2", arch="mhim", epochs=1)
+    conf2.extra.update(dict(mlp_dim=32, mask_ratio=0.2, mask_ratio_h=0.1,
+                            teacher_init=pure_ckpt, init_stu_type="fc"))
+    model, fam = build_mil_model(conf2)
+    bag = Bag(feats=jnp.ones((1, 64, 32)), mask=jnp.ones((1, 64), bool),
+              coords=jnp.zeros((1, 64, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    state = create_train_state(model, conf2, jax.random.PRNGKey(1), bag, 1,
+                               family=get_family(fam))
+    fresh_emb = np.asarray(state.params["patch_to_emb"]["kernel"])
+    fresh_pred = np.asarray(state.params["predictor"]["kernel"])
+    tea_emb = np.asarray(raw["params"]["patch_to_emb"]["kernel"])
+    assert not np.allclose(fresh_emb, tea_emb)
+
+    state2 = init_teacher_student(state, conf2)
+    # input projection copied from teacher, predictor untouched
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["patch_to_emb"]["kernel"]), tea_emb)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["predictor"]["kernel"]), fresh_pred)
+    # teacher params fully loaded
+    np.testing.assert_array_equal(
+        np.asarray(state2.teacher_params["predictor"]["kernel"]),
+        np.asarray(raw["params"]["predictor"]["kernel"]))
+    # unknown init type rejected
+    conf2.extra["init_stu_type"] = "bogus"
+    with pytest.raises(ValueError):
+        init_teacher_student(state, conf2)
