@@ -61,6 +61,27 @@ ENCODER_SPECS = {
         "resnet"),
     ("medical_ssl", "Resnet50"): EncoderSpec(
         lambda dt: resnet50(dt), 2048, 224, HALF_MEAN, HALF_STD, "resnet"),
+    # DINO ResNet50 (`models.py:208-210`: natural_ssl + Resnet50 — the
+    # dino_resnet50 checkpoint is a torchvision-layout RN50 trunk)
+    ("natural_ssl", "Resnet50"): EncoderSpec(
+        lambda dt: resnet50(dt), 2048, 224, IMAGENET_MEAN, IMAGENET_STD,
+        "resnet"),
+    # Lunit pathology DINO ViT-S/8 (`models.py:117-121` DINO_p8 registry)
+    ("medical_ssl", "ViT-S/8"): EncoderSpec(
+        lambda dt: ViT(8, 384, 12, 6, dtype=dt), 384, 224,
+        HALF_MEAN, HALF_STD, "vit"),
+    # UNI (Mahmood-lab): DINOv2 ViT-L/16 with layerscale, 1024-d
+    # (`Step3_WSI_classification_ACMIL.py:82-84` D_feat row)
+    ("UNI", "ViT-L/16"): EncoderSpec(
+        lambda dt: ViT(16, 1024, 24, 16, layerscale=True, dtype=dt), 1024,
+        224, IMAGENET_MEAN, IMAGENET_STD, "vit", depth=24),
+    # GigaPath tile encoder: DINOv2 ViT-G/16 (timm vit_giant_patch14_dinov2
+    # at patch 16): 1536-d, depth 40, SwiGLU-packed MLP, layerscale
+    # (`Step3_WSI_classification_ACMIL.py:85-87` D_feat row)
+    ("GigaPath", "ViT-G/16"): EncoderSpec(
+        lambda dt: ViT(16, 1536, 40, 24, mlp_ratio=16.0 / 3.0, act="swiglu",
+                       layerscale=True, dtype=dt), 1536, 224,
+        IMAGENET_MEAN, IMAGENET_STD, "vit", depth=40),
     ("path-clip-L-336", "ViT-L/336"): EncoderSpec(
         lambda dt: ViT(14, 1024, 24, 16, img_size=336, proj_dim=768,
                        pre_norm=True, act="quick_gelu", dtype=dt), 768, 336,
@@ -69,6 +90,14 @@ ENCODER_SPECS = {
         lambda dt: ViT(14, 1024, 24, 16, img_size=336, proj_dim=768,
                        pre_norm=True, act="quick_gelu", dtype=dt), 768, 336,
         CLIP_MEAN, CLIP_STD, "clip_vit", depth=24),
+}
+
+
+# pretrains that imply the encoder no matter what cfg.backbone says
+PRETRAIN_ONLY = {
+    "tailored_sl": ("medical_ssl", "ViT-S/16"),   # models.py:213-214
+    "UNI": ("UNI", "ViT-L/16"),
+    "GigaPath": ("GigaPath", "ViT-G/16"),
 }
 
 
@@ -98,6 +127,11 @@ def build_encoder(conf, dtype=jnp.bfloat16, fast: bool = True):
     """
     key = (conf.pretrain, conf.backbone)
     spec = ENCODER_SPECS.get(key)
+    if spec is None and conf.pretrain in PRETRAIN_ONLY:
+        # these pretrains pick the encoder regardless of cfg.backbone
+        # (`models.py:213-214`: tailored_sl -> DINO_p16 ViT-S; UNI/GigaPath
+        # have exactly one published trunk each)
+        spec = ENCODER_SPECS[PRETRAIN_ONLY[conf.pretrain]]
     if spec is None:
         raise ValueError(f"unknown encoder {key}; have {sorted(ENCODER_SPECS)}")
     encoder = spec.builder(dtype)

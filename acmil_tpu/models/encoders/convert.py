@@ -57,7 +57,7 @@ def convert_vit(state_dict: Dict, depth: int = 12) -> Dict:
     }
     for i in range(depth):
         b = f"blocks.{i}"
-        p[f"block{i}"] = {
+        blk = {
             "norm1": _ln(sd, f"{b}.norm1"),
             "norm2": _ln(sd, f"{b}.norm2"),
             "attn": {"qkv": _lin(sd, f"{b}.attn.qkv"),
@@ -65,6 +65,12 @@ def convert_vit(state_dict: Dict, depth: int = 12) -> Dict:
             "mlp": {"Dense_0": _lin(sd, f"{b}.mlp.fc1"),
                     "Dense_1": _lin(sd, f"{b}.mlp.fc2")},
         }
+        # DINOv2-style layerscale (UNI ViT-L, GigaPath ViT-G tile encoder);
+        # timm and facebookresearch/dinov2 both name these ls{1,2}.gamma
+        if f"{b}.ls1.gamma" in sd:
+            blk["ls1"] = _t(sd[f"{b}.ls1.gamma"])
+            blk["ls2"] = _t(sd[f"{b}.ls2.gamma"])
+        p[f"block{i}"] = blk
     return p
 
 

@@ -24,13 +24,19 @@ class MlpBlock(nn.Module):
     dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    act: str = "gelu"   # 'gelu' | 'quick_gelu' (OpenAI CLIP)
+    act: str = "gelu"   # 'gelu' | 'quick_gelu' (OpenAI CLIP) | 'swiglu' (DINOv2-G)
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         if self.act == "quick_gelu":
             x = x * nn.sigmoid(1.702 * x)
+        elif self.act == "swiglu":
+            # timm SwiGLUPacked layout (vit_giant_patch14_dinov2, the
+            # GigaPath tile encoder): fc1 emits 2x the true hidden width,
+            # gate = silu(first half) * second half
+            a, b = jnp.split(x, 2, axis=-1)
+            x = nn.silu(a) * b
         else:
             x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype)(x)
@@ -71,16 +77,25 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
     act: str = "gelu"
+    layerscale: bool = False   # DINOv2-style ls1/ls2 (UNI, GigaPath)
+    ls_init: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        x = x + SelfAttention(self.dim, self.heads, self.dtype,
-                              self.softmax_f32, name="attn")(
+        y = SelfAttention(self.dim, self.heads, self.dtype,
+                          self.softmax_f32, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
-        x = x + MlpBlock(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                         self.act, name="mlp")(
+        if self.layerscale:
+            y = y * self.param("ls1", nn.initializers.constant(self.ls_init),
+                               (self.dim,)).astype(y.dtype)
+        x = x + y
+        y = MlpBlock(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                     self.act, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
-        return x
+        if self.layerscale:
+            y = y * self.param("ls2", nn.initializers.constant(self.ls_init),
+                               (self.dim,)).astype(y.dtype)
+        return x + y
 
 
 class ViT(nn.Module):
@@ -97,6 +112,8 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True
     act: str = "gelu"
+    layerscale: bool = False
+    ls_init: float = 1e-5
 
     @property
     def embed_dim(self) -> int:
@@ -120,7 +137,8 @@ class ViT(nn.Module):
             x = nn.LayerNorm(epsilon=1e-6, name="norm_pre")(x)
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
-                         self.softmax_f32, self.act, name=f"block{i}")(x)
+                         self.softmax_f32, self.act, self.layerscale,
+                         self.ls_init, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         feat = x[:, 0]
         if self.proj_dim:

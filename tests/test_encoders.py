@@ -216,3 +216,167 @@ def test_clip_converter_shapes():
     assert ref_shapes == got_shapes
     out = m.apply({"params": params}, jnp.ones((1, img, img, 3)))
     assert out.shape == (1, proj)
+
+
+class _TorchTinyDinoV2:
+    """timm-layout torch ViT with layerscale + SwiGLU-packed MLP — the
+    UNI (ls only) / GigaPath (ls + swiglu) block structure."""
+
+    def build(self, dim=32, depth=2, heads=2, patch=8, img=16, swiglu=True,
+              mlp_ratio=4.0):
+        import math
+
+        import torch
+        import torch.nn as nn
+
+        hidden = int(dim * mlp_ratio)
+
+        class LS(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.gamma = nn.Parameter(torch.full((dim,), 1e-5))
+
+            def forward(self, x):
+                return x * self.gamma
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+                self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+                self.attn = nn.Module()
+                self.attn.qkv = nn.Linear(dim, dim * 3)
+                self.attn.proj = nn.Linear(dim, dim)
+                self.ls1, self.ls2 = LS(), LS()
+                self.mlp = nn.Module()
+                self.mlp.fc1 = nn.Linear(dim, hidden)
+                self.mlp.fc2 = nn.Linear(hidden // 2 if swiglu else hidden, dim)
+                self.heads = heads
+
+            def forward(self, x):
+                b, n, d = x.shape
+                h = self.heads
+                y = self.norm1(x)
+                qkv = self.attn.qkv(y).reshape(b, n, 3, h, d // h)
+                q, k, v = qkv.permute(2, 0, 3, 1, 4)
+                a = ((q @ k.transpose(-1, -2)) / math.sqrt(d // h)).softmax(-1)
+                y = (a @ v).transpose(1, 2).reshape(b, n, d)
+                x = x + self.ls1(self.attn.proj(y))
+                y = self.mlp.fc1(self.norm2(x))
+                if swiglu:  # timm SwiGLUPacked: silu(first half) * second
+                    a_, b_ = y.chunk(2, dim=-1)
+                    y = torch.nn.functional.silu(a_) * b_
+                else:
+                    y = torch.nn.functional.gelu(y)
+                return x + self.ls2(self.mlp.fc2(y))
+
+        class Tiny(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patch_embed = nn.Module()
+                self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+                n_tok = (img // patch) ** 2 + 1
+                self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+                self.pos_embed = nn.Parameter(torch.randn(1, n_tok, dim) * 0.02)
+                self.blocks = nn.ModuleList([Block() for _ in range(depth)])
+                self.norm = nn.LayerNorm(dim, eps=1e-6)
+                # make the tiny random layerscales non-degenerate
+                for blk in self.blocks:
+                    with torch.no_grad():
+                        blk.ls1.gamma.uniform_(0.5, 1.5)
+                        blk.ls2.gamma.uniform_(0.5, 1.5)
+
+            def forward(self, x):
+                b = x.shape[0]
+                x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+                x = torch.cat([self.cls_token.expand(b, -1, -1), x], 1)
+                x = x + self.pos_embed
+                for blk in self.blocks:
+                    x = blk(x)
+                return self.norm(x)[:, 0]
+
+        return Tiny()
+
+
+@pytest.mark.parametrize("swiglu,mlp_ratio", [(False, 4.0), (True, 16 / 3)])
+def test_dinov2_converter_parity(swiglu, mlp_ratio):
+    """UNI (layerscale) / GigaPath (layerscale+SwiGLU) block conversion."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.encoders.convert import convert_vit
+
+    dim, depth, heads, patch, img = 48, 2, 2, 8, 16
+    tm = _TorchTinyDinoV2().build(dim, depth, heads, patch, img,
+                                  swiglu=swiglu, mlp_ratio=mlp_ratio)
+    tm.eval()
+    sd = tm.state_dict()
+    assert "blocks.0.ls1.gamma" in sd
+    params = convert_vit(sd, depth=depth)
+    fm = ViT(patch=patch, dim=dim, depth=depth, heads=heads, img_size=img,
+             mlp_ratio=mlp_ratio, act="swiglu" if swiglu else "gelu",
+             layerscale=True)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    f_out = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(f_out, t_out, rtol=2e-4, atol=2e-4)
+
+
+# every (pretrain, backbone) pair the reference can build
+# (`models.py:191-214`) plus each D_feat family row
+# (`Step3_WSI_classification_ACMIL.py:69-87`)
+REFERENCE_ENCODER_KEYS = [
+    ("natural_supervised", "ViT-B/16", 768),
+    ("natural_ssl", "ViT-S/16", 768),     # ref maps this to dino_vitb16
+    ("natural_supervised", "Resnet50", 2048),
+    ("natural_supervised", "Resnet18", 512),
+    ("natural_ssl", "Resnet50", 2048),    # DINO ResNet50
+    ("medical_ssl", "Resnet50", 2048),    # Lunit BT RN50
+    ("medical_ssl", "ViT-S/16", 384),     # Lunit DINO_p16
+    ("medical_ssl", "ViT-S/8", 384),      # Lunit DINO_p8
+    ("tailored_sl", "ViT-S/16", 384),     # pretrain-only dispatch
+    ("tailored_sl", "anything", 384),     # backbone ignored (models.py:213)
+    ("UNI", "ViT-L/16", 1024),
+    ("UNI", "", 1024),                    # pretrain-only dispatch
+    ("GigaPath", "ViT-G/16", 1536),
+    ("GigaPath", "", 1536),
+    ("path-clip-L-336", "ViT-L/336", 768),
+    ("openai-clip-L-336", "ViT-L/336", 768),
+]
+
+
+@pytest.mark.parametrize("pretrain,backbone,want_dim", REFERENCE_ENCODER_KEYS)
+def test_every_reference_encoder_builds_and_extracts(pretrain, backbone, want_dim):
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import PRETRAIN_DIMS
+    from acmil_tpu.models.encoders.build import build_encoder, preprocess
+
+    class C:
+        pass
+
+    conf = C()
+    conf.pretrain, conf.backbone, conf.n_class = pretrain, backbone, 2
+    conf.pretrain_weights = ""
+    model, spec, variables = build_encoder(conf, dtype=jnp.float32)
+    assert spec.embed_dim == want_dim
+    # the MIL-side D_feat table must agree for single-trunk families
+    if pretrain in ("UNI", "GigaPath"):
+        assert PRETRAIN_DIMS[pretrain][0] == want_dim
+
+    # init is the expensive part for the giant trunks: shrink via jax.eval_shape
+    img = np.zeros((1, spec.img_size, spec.img_size, 3), np.uint8)
+    x = preprocess(jnp.asarray(img), spec, dtype=jnp.float32)
+
+    def init_and_fwd(x):
+        v = model.init(jax.random.PRNGKey(0), x)
+        return model.apply(v, x)
+
+    out = jax.eval_shape(init_and_fwd, x)
+    logits, feat = out
+    assert feat.shape == (1, spec.embed_dim)
+    assert logits.shape == (1, 2)
