@@ -29,13 +29,14 @@ def extract_slide_features(model, variables, spec, slide, coords,
     import jax.numpy as jnp
 
     from acmil_tpu.data.patch_dataset import SlidePatchBatches
-    from acmil_tpu.models.encoders.build import preprocess
+    from acmil_tpu.models.encoders.build import encoder_feature_fn, preprocess
+
+    feat_fn = encoder_feature_fn(model, variables, spec)
 
     @jax.jit
     def embed(images_u8):
         x = preprocess(images_u8, spec)
-        _, feat = model.apply(variables, x, return_feature=True)
-        return feat.astype(jnp.float16)
+        return feat_fn(x).astype(jnp.float16)
 
     src = SlidePatchBatches(slide, coords, patch_size_l0, patch_level,
                             target_size=spec.img_size, batch_size=batch_size)

@@ -171,3 +171,39 @@ def preprocess(images_u8, spec: EncoderSpec, dtype=jnp.bfloat16):
     mean = jnp.asarray(spec.mean)
     std = jnp.asarray(spec.std)
     return ((x - mean) / std).astype(dtype)
+
+
+def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True):
+    """Feature-extraction closure for the Step2 engine.
+
+    Routes plain-GELU ViT trunks whose layers fit VMEM (ViT-S family)
+    through the layer-fused Pallas path (ops/vit_layer.py; ~2x the
+    unfused throughput on v5e — BENCH_NOTES.md), everything else through
+    ``model.apply``. Output matches `CustomModel.forward(return_feature=
+    True)`'s feature tensor (`models.py:164-179`).
+    """
+    enc = model.encoder
+    if (fast and isinstance(enc, ViT) and enc.act == "gelu"
+            and not enc.layerscale and not enc.pre_norm
+            and enc.proj_dim is None):
+        from acmil_tpu.ops.vit_layer import fits_vmem
+
+        n_tok = (spec.img_size // enc.patch) ** 2 + 1
+        n_pad = (n_tok + 127) // 128 * 128
+        if fits_vmem(enc.dim, int(enc.dim * enc.mlp_ratio), n_pad, enc.heads):
+            from acmil_tpu.models.encoders.fast import vit_encode
+
+            enc_params = variables["params"]["encoder"]
+
+            def feat_fn(x):
+                return vit_encode(enc_params, x, patch=enc.patch,
+                                  depth=enc.depth, heads=enc.heads,
+                                  dtype=enc.dtype)
+
+            return feat_fn
+
+    def feat_fn(x):
+        _, feat = model.apply(variables, x, return_feature=True)
+        return feat
+
+    return feat_fn

@@ -7,8 +7,13 @@ Layout matches timm/DINO so torch checkpoints convert 1:1
 (:mod:`acmil_tpu.models.encoders.convert`).
 
 TPU notes: patch embedding is a conv that XLA lowers to one MXU matmul;
-attention uses plain ``jnp.einsum`` (sequence length 197/577 — flash-style
-kernels buy nothing at this size); bf16 activations with f32 layernorms.
+bf16 activations with f32 layernorm statistics. Attention has three
+implementations: plain ``jnp.einsum`` (training/default), a fused Pallas
+MHA (``attn_impl='fused'``, ops/vit_attn.py), and — for trunks whose
+whole layer fits VMEM (ViT-S) — the layer-fused inference path
+``encoders.fast.vit_encode`` over ops/vit_layer.py, which is what the
+Step2 extraction engine uses (11.5k patches/s/chip vs 6.1k unfused,
+BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ class SelfAttention(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     softmax_f32: bool = True  # False: inference-only bf16 softmax (~13% faster)
+    attn_impl: str = "einsum"  # 'einsum' | 'fused' (Pallas, f32 softmax in VMEM)
 
     @nn.compact
     def __call__(self, x):
@@ -59,13 +65,20 @@ class SelfAttention(nn.Module):
             return t.reshape(b, n, self.heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh).astype(
-            self.dtype)
-        if self.softmax_f32:
-            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.attn_impl == "fused":
+            # one VMEM-resident QK^T->softmax->PV per batch element; the
+            # [B,H,N,N] score tensor never touches HBM (ops/vit_attn.py)
+            from acmil_tpu.ops.vit_attn import fused_vit_attention
+
+            out = fused_vit_attention(q, k, v).astype(self.dtype)
         else:
-            attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh).astype(
+                self.dtype)
+            if self.softmax_f32:
+                attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            else:
+                attn = nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -79,11 +92,12 @@ class ViTBlock(nn.Module):
     act: str = "gelu"
     layerscale: bool = False   # DINOv2-style ls1/ls2 (UNI, GigaPath)
     ls_init: float = 1e-5
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
         y = SelfAttention(self.dim, self.heads, self.dtype,
-                          self.softmax_f32, name="attn")(
+                          self.softmax_f32, self.attn_impl, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
         if self.layerscale:
             y = y * self.param("ls1", nn.initializers.constant(self.ls_init),
@@ -114,6 +128,7 @@ class ViT(nn.Module):
     act: str = "gelu"
     layerscale: bool = False
     ls_init: float = 1e-5
+    attn_impl: str = "einsum"
 
     @property
     def embed_dim(self) -> int:
@@ -138,7 +153,7 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, self.mlp_ratio, self.dtype,
                          self.softmax_f32, self.act, self.layerscale,
-                         self.ls_init, name=f"block{i}")(x)
+                         self.ls_init, self.attn_impl, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         feat = x[:, 0]
         if self.proj_dim:

@@ -1,0 +1,188 @@
+"""Fully fused ViT encoder layer for small trunks (Pallas, inference).
+
+Speed-of-light analysis for the Step2 extraction workload (ViT-S/16,
+197 tokens, `/root/reference/Step2_feature_extract.py:35-67`): the MXU
+sustains ~190 TFLOP/s on this chip for the raw GEMM chain, but the
+unfused layer graph runs at <45% MFU because every layernorm, head
+split/transpose and softmax round-trips activations through HBM. A
+ViT-S layer's weights are only ~3.5 MB bf16 — they fit in VMEM with room
+to spare — so the whole layer (LN1 -> QKV -> MHA -> proj -> +res -> LN2
+-> MLP -> +res) runs as ONE kernel per batch element: HBM traffic
+collapses to reading x once and writing the layer output once.
+
+Applicability: D*(3D + D + 8D) * 2 bytes must fit VMEM alongside ~6 MB
+of activations — true for ViT-S (384: 3.5 MB), not for ViT-B+ (768:
+14 MB). `fits_vmem()` reports this; larger trunks use the fused
+*attention* kernel (ops/vit_attn.py) instead.
+
+Numerics: layernorm statistics, matmul accumulation, softmax and both
+residual adds are f32; tensors cross HBM in bf16 only. Backward falls
+back to the unfused graph via custom_vjp (encoders are frozen in every
+reference training path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _ln_f32(h, scale, bias):
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    return (h - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                  wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  *, heads: int, n_valid: int):
+    """One batch element, whole encoder layer resident in VMEM."""
+    x = x_ref[0].astype(jnp.float32)               # [N_pad, D]
+    n_pad, d = x.shape
+    dh = d // heads
+
+    # --- attention half ---------------------------------------------------
+    y = _ln_f32(x, ln1s_ref[0], ln1b_ref[0]).astype(x_ref.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(x_ref.dtype)   # [N_pad, 3D]
+
+    # per-head 2D slices: Mosaic cannot lower the [N, D] -> [H, N, dh]
+    # shape-cast, but static lane slices + 2D matmuls it handles natively
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    scale = 1.0 / float(np.sqrt(dh))
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        q_h = qkv[:, 0 * d:1 * d][:, sl]
+        k_h = qkv[:, 1 * d:2 * d][:, sl]
+        v_h = qkv[:, 2 * d:3 * d][:, sl]
+        # rows past n_valid are bounds-masking garbage (possibly NaN);
+        # their softmax weight is exactly 0 but 0*NaN = NaN in the PV dot
+        row = jax.lax.broadcasted_iota(jnp.int32, v_h.shape, 0)
+        v_h = jnp.where(row < n_valid, v_h, 0)
+        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(col2 < n_valid, s, -jnp.inf)   # mask padded keys
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(x_ref.dtype)
+        outs.append(jnp.dot(p, v_h, preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)
+
+    attn_out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32)
+    h = x + attn_out + bproj_ref[0]                 # f32 residual
+
+    # --- MLP half -----------------------------------------------------------
+    y2 = _ln_f32(h, ln2s_ref[0], ln2b_ref[0]).astype(x_ref.dtype)
+    m = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
+    m = m + b1_ref[0]
+    # tanh-approx gelu: Mosaic lowers neither erf nor erfc, and the
+    # approximation error (<~1e-3 abs) is below the bf16 noise floor of
+    # this inference path; exact-gelu users take the unfused graph
+    m = jax.nn.gelu(m, approximate=True).astype(x_ref.dtype)
+    m = jnp.dot(m, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (h + m + b2_ref[0]).astype(o_ref.dtype)
+
+
+def fits_vmem(dim: int, mlp_hidden: int, n_pad: int, heads: int,
+              bytes_per_el: int = 2, budget: int = 13 * 2 ** 20) -> bool:
+    weights = dim * (3 * dim + dim + 2 * mlp_hidden) * bytes_per_el
+    acts = (n_pad * dim * 4 * 3            # x, h, y in f32
+            + n_pad * 3 * dim * 4          # qkv accum
+            + heads * n_pad * n_pad * 4    # scores
+            + n_pad * mlp_hidden * 4)      # mlp accum
+    return weights + acts <= budget
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_vit_layer(x, weights, heads: int):
+    """x: [B, N, D] -> [B, N, D]; weights: dict with ln1/{scale,bias},
+    qkv/{kernel,bias}, proj/{kernel,bias}, ln2/{scale,bias},
+    fc1/{kernel,bias}, fc2/{kernel,bias} (flax layout: kernel [in, out])."""
+    return _fused_layer_impl(x, weights, heads)
+
+
+def _unfused_layer(x, w, heads):
+    f32 = jnp.float32
+    y = _ln_f32(x.astype(f32), w["ln1"]["scale"], w["ln1"]["bias"]).astype(x.dtype)
+    qkv = y @ w["qkv"]["kernel"] + w["qkv"]["bias"]
+    b, n, d = x.shape
+    dh = d // heads
+
+    def heads_of(t):
+        return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = (heads_of(qkv[..., i * d:(i + 1) * d]) for i in range(3))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(f32) / np.sqrt(dh)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    h = x.astype(f32) + (o @ w["proj"]["kernel"] + w["proj"]["bias"]).astype(f32)
+    y2 = _ln_f32(h, w["ln2"]["scale"], w["ln2"]["bias"]).astype(x.dtype)
+    m = jax.nn.gelu(y2 @ w["fc1"]["kernel"] + w["fc1"]["bias"], approximate=False)
+    m = m.astype(x.dtype) @ w["fc2"]["kernel"] + w["fc2"]["bias"]
+    return (h + m.astype(f32)).astype(x.dtype)
+
+
+def _fused_layer_impl(x, w, heads):
+    b, n, d = x.shape
+    hidden = w["fc1"]["kernel"].shape[1]
+    n_pad = _round_up(n, 128)
+    if not fits_vmem(d, hidden, n_pad, heads):
+        return _unfused_layer(x, w, heads)
+
+    dt = x.dtype
+    x_spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def const(shape):  # weight blocks: same block every program
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    vec = lambda v: v.reshape(1, -1)
+    args = [
+        x,
+        vec(w["ln1"]["scale"]), vec(w["ln1"]["bias"]),
+        w["qkv"]["kernel"].astype(dt), vec(w["qkv"]["bias"]),
+        w["proj"]["kernel"].astype(dt), vec(w["proj"]["bias"]),
+        vec(w["ln2"]["scale"]), vec(w["ln2"]["bias"]),
+        w["fc1"]["kernel"].astype(dt), vec(w["fc1"]["bias"]),
+        w["fc2"]["kernel"].astype(dt), vec(w["fc2"]["bias"]),
+    ]
+    in_specs = [x_spec] + [const(tuple(a.shape)) for a in args[1:]]
+    kernel = functools.partial(_layer_kernel, heads=heads, n_valid=n)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
+def _fwd(x, w, heads):
+    return _fused_layer_impl(x, w, heads), (x, w)
+
+
+def _bwd(heads, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, w: _unfused_layer(x, w, heads), x, w)
+    return vjp(g)
+
+
+fused_vit_layer.defvjp(_fwd, _bwd)

@@ -1,0 +1,137 @@
+"""Fused Pallas extraction path: vit_attn + vit_layer + fast.vit_encode.
+
+These run in interpret mode on the CPU backend; the same code compiles
+via Mosaic on TPU (driven by bench.py's extraction benchmark).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acmil_tpu.models.encoders.fast import vit_encode
+from acmil_tpu.models.encoders.vit import ViT
+from acmil_tpu.ops.vit_attn import _reference_attention, fused_vit_attention
+from acmil_tpu.ops.vit_layer import _unfused_layer, fits_vmem, fused_vit_layer
+
+
+@pytest.mark.parametrize("shape", [(2, 6, 197, 64), (1, 2, 128, 32),
+                                   (3, 4, 50, 32)])
+def test_fused_attention_matches_reference(shape):
+    rs = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rs.randn(*shape), jnp.float32) for _ in range(3))
+    out = fused_vit_attention(q, k, v)
+    ref = _reference_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_grad_falls_back():
+    rs = np.random.RandomState(1)
+    q, k, v = (jnp.asarray(rs.randn(1, 2, 60, 32), jnp.float32)
+               for _ in range(3))
+    g1 = jax.grad(lambda q: fused_vit_attention(q, k, v).sum())(q)
+    g2 = jax.grad(lambda q: _reference_attention(q, k, v, None).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_vit_attn_impl_fused_matches_einsum():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+    m1 = ViT(patch=16, dim=64, depth=2, heads=2, img_size=32)
+    p = m1.init(jax.random.PRNGKey(0), x)
+    o1 = m1.apply(p, x)
+    o2 = m1.clone(attn_impl="fused").apply(p, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=3e-5, atol=3e-5)
+
+
+def _layer_weights(rs, d, hidden):
+    lin = lambda i, o: {"kernel": jnp.asarray(rs.randn(i, o) * 0.05,
+                                              jnp.float32),
+                        "bias": jnp.asarray(rs.randn(o) * 0.01, jnp.float32)}
+    ln = lambda: {"scale": jnp.asarray(1 + 0.1 * rs.randn(d), jnp.float32),
+                  "bias": jnp.asarray(0.1 * rs.randn(d), jnp.float32)}
+    return {"ln1": ln(), "ln2": ln(), "qkv": lin(d, 3 * d),
+            "proj": lin(d, d), "fc1": lin(d, hidden), "fc2": lin(hidden, d)}
+
+
+def test_fused_layer_matches_unfused():
+    rs = np.random.RandomState(0)
+    d, hidden, heads, n = 64, 256, 2, 197
+    w = _layer_weights(rs, d, hidden)
+    x = jnp.asarray(rs.randn(2, n, d), jnp.float32)
+    out = fused_vit_layer(x, w, heads)
+    ref = _unfused_layer(x, w, heads)
+    # tanh-approx gelu inside the kernel vs exact gelu: <~1e-3 abs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_fused_layer_grad_falls_back():
+    rs = np.random.RandomState(2)
+    d, hidden, heads, n = 32, 64, 2, 40
+    w = _layer_weights(rs, d, hidden)
+    x = jnp.asarray(rs.randn(1, n, d), jnp.float32)
+    g1 = jax.grad(lambda x: fused_vit_layer(x, w, heads).sum())(x)
+    g2 = jax.grad(lambda x: _unfused_layer(x, w, heads).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fits_vmem_classification():
+    # ViT-S layer fits; ViT-B/L do not
+    assert fits_vmem(384, 1536, 256, 6)
+    assert not fits_vmem(768, 3072, 256, 12)
+    assert not fits_vmem(1024, 4096, 256, 16)
+
+
+def test_vit_encode_matches_module():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+    m = ViT(patch=16, dim=64, depth=2, heads=2, img_size=32)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": p}, x))
+    out = np.asarray(vit_encode(p, x, patch=16, depth=2, heads=2,
+                                dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_encoder_feature_fn_routing():
+    from acmil_tpu.models.encoders.build import (ENCODER_SPECS,
+                                                 encoder_feature_fn)
+
+    class C:
+        n_class = 2
+        pretrain_weights = ""
+
+    # ViT-S routes to the layer-fused path, ViT-B to model.apply
+    for key, expect_fast in [(("medical_ssl", "ViT-S/16"), True),
+                             (("natural_supervised", "ViT-B/16"), False)]:
+        from acmil_tpu.models.encoders.build import CustomModel
+
+        spec = ENCODER_SPECS[key]
+        model = CustomModel(encoder=spec.builder(jnp.float32), n_class=2)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(1, spec.img_size, spec.img_size, 3),
+                        jnp.float32)
+        variables = jax.eval_shape(
+            lambda x: model.init(jax.random.PRNGKey(0), x), x)
+        fn = encoder_feature_fn(model, variables, spec)
+        # routing is observable via the closure's code: the fast path
+        # closes over enc_params, the slow one over model
+        fast = "enc_params" in fn.__code__.co_freevars
+        assert fast == expect_fast, (key, fn.__code__.co_freevars)
+
+
+def test_vit_encode_real_shape_small_batch():
+    """Full ViT-S/16 geometry (197 tokens), tiny batch, f32 interpret."""
+    rs = np.random.RandomState(0)
+    m = ViT(16, 384, 2, 6)  # 2 layers keeps interpret-mode time sane
+    x = jnp.asarray(rs.randn(1, 224, 224, 3), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": p}, x))
+    out = np.asarray(vit_encode(p, x, patch=16, depth=2, heads=6,
+                                dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
