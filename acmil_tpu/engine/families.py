@@ -61,9 +61,32 @@ class Family:
 
 class ACMILFamily(Family):
     """(sub, slide, attn) triple; branch CE + slide CE + diversity
-    (`Step3_WSI_classification_ACMIL.py:199-216`)."""
+    (`Step3_WSI_classification_ACMIL.py:199-216`).
+
+    With ``fused_train`` on (and STKIM/dropout off, so the deterministic
+    forward IS the training forward), the GA head's forward runs the
+    fused Pallas pooling kernel with a rematerialising backward
+    (models/fast.py::acmil_ga_apply_batched)."""
 
     name = "acmil"
+
+    def conf_dict(self, conf):
+        d = super().conf_dict(conf)
+        d["fused"] = (bool(conf.extra.get("fused_train", False))
+                      and int(getattr(conf, "n_masked_patch", 0)) == 0
+                      and float(conf.extra.get("droprate", 0.0)) == 0.0)
+        return d
+
+    @staticmethod
+    def _fused_ok(params, conf_d):
+        return conf_d.get("fused", False) and "AttentionGated_0" in params
+
+    def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
+        if self._fused_ok(params, conf_d):
+            from acmil_tpu.models.fast import acmil_ga_apply_batched
+
+            return acmil_ga_apply_batched(params, bag.feats, bag.mask)
+        return super().train_outputs(apply_fn, params, bag, rngs, conf_d)
 
     def loss(self, outputs, bag, valid, conf_d):
         sub, slide, attn = outputs

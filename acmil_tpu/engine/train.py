@@ -63,6 +63,10 @@ def create_train_state(
         grad_clip = getattr(conf, "grad_clipping", None)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    # MIL heads have ~20 small param leaves; per-leaf optimizer ops cost
+    # ~0.9 ms/step in kernel-launch overhead on TPU (BENCH_NOTES.md, r2) —
+    # flattening runs AdamW as a handful of ops on one contiguous vector
+    tx = optax.flatten(tx)
     fam_name = getattr(_resolve_family(family), "name", None) if family else None
     if fam_name == "mhim":
         return EMATrainState.create(
@@ -104,7 +108,10 @@ def make_train_step(model, conf, family="acmil") -> Callable:
         new_state = state.apply_gradients(grads=grads)
         aux = dict(aux)
         aux["loss"] = loss
-        aux["grad_norm"] = optax.global_norm(grads)
+        # one concat HLO + one reduction instead of 2 kernels per leaf
+        # (optax.global_norm costs ~0.4 ms/step in launch overhead here)
+        flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+        aux["grad_norm"] = jnp.linalg.norm(flat_g)
         return new_state, aux
 
     return step

@@ -54,3 +54,26 @@ def abmil_infer(params, feats, mask, chunk: int = 1024,
         feats, mask, dr, v, bv, u, bu, w, bw, chunk=chunk, interpret=interpret)
     cls = params["Classifier1fc_0"]["Dense_0"]
     return bag[0] @ cls["kernel"] + cls["bias"], logits
+
+
+def acmil_ga_apply_batched(params, feats, mask, chunk: int = 1024):
+    """Differentiable fused ACMIL_GA forward (batched, no STKIM).
+
+    Matches ``ACMIL_GA.__call__`` with ``deterministic=True`` on the same
+    param tree: the pooling runs the Pallas kernel (one HBM pass over
+    ``feats``), the backward rematerialises through the jnp graph
+    (ops/attn_pool.py::gated_attn_pool_grad). Used by the ACMIL family's
+    fused train/eval step when STKIM and dropout are off (the reference's
+    ABMIL configuration, `README.md:51-54`).
+    """
+    from acmil_tpu.ops.attn_pool import gated_attn_pool_grad
+
+    dr, v, bv, u, bu, w, bw = _ga_weights(params)
+    feats = feats.astype(dr.dtype)
+    bag, logits = gated_attn_pool_grad(feats, mask, dr, v, bv, u, bu, w, bw,
+                                       chunk)
+    sub = jnp.einsum("bkl,klc->bkc", bag, params["branch_w"]) + params["branch_b"]
+    bag_mean = bag.mean(axis=1)   # == pooling with branch-mean attention
+    cls = params["Classifier1fc_0"]["Dense_0"]
+    slide = bag_mean @ cls["kernel"] + cls["bias"]
+    return sub, slide, logits

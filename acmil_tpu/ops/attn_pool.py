@@ -34,7 +34,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-K_OUT = 8  # sublane tile for the emitted attention-logit rows (branches)
+
+
+def _k_out(k: int) -> int:
+    """Sublane-tile-aligned row count for the emitted attention logits.
+
+    Branches are emitted [K_OUT, N] (sublane-major); f32 tiles are 8
+    sublanes, so pad K up to a multiple of 8. The running-stat lane tile
+    caps K at 128 — far above any reference config (default n_token=5).
+    """
+    return max(8, (k + 7) // 8 * 8)
 
 
 def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
@@ -63,9 +72,10 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
 
     valid = mask_ref[0] > 0                            # [C, 1]
     logits = jnp.where(valid, logits, NEG)
-    # emit raw logits as [K_OUT, C] (sublane-major): 16x less HBM traffic
+    # emit raw logits as [k_out, C] (sublane-major): 16x less HBM traffic
     # than a [C, 128-lane] layout when K is small
-    logits_ref[0] = jax.lax.slice(logits, (0, 0), (logits.shape[0], K_OUT)).T
+    k_out = logits_ref.shape[1]
+    logits_ref[0] = jax.lax.slice(logits, (0, 0), (logits.shape[0], k_out)).T
 
     # online softmax update, per branch k (K is the lane-tile axis of the
     # running stats; stats are [1, K] rows)
@@ -112,7 +122,8 @@ def fused_gated_attn_pool_batched(
     l = w1.shape[1]
     a_dim = v.shape[1]
     k = w.shape[1]
-    assert k <= K_OUT, f"more than {K_OUT} attention branches: {k}"
+    assert k <= 128, f"branch axis exceeds the 128-lane stat tile: {k}"
+    k_out = _k_out(k)
     k_pad = 128  # one lane tile for the branch axis
     chunk = min(chunk, n)
     assert n % chunk == 0, (n, chunk)
@@ -142,12 +153,12 @@ def fused_gated_attn_pool_batched(
         out_specs=[
             pl.BlockSpec((1, k_pad, l), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_OUT, chunk), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, k_out, chunk), lambda bi, i: (bi, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((b, K_OUT, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_out, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, k_pad), jnp.float32),   # running max
@@ -179,3 +190,216 @@ def gated_attn_pool_reference(feats, mask, w1, v, bv, u, bu, w, bw):
     p = p / jnp.maximum(p.sum(axis=0, keepdims=True), 1e-12)
     bag = p.T @ h
     return bag, logits
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper + fused backward kernel (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+def _reference_batched(feats, mask, w1, v, bv, u, bu, w, bw):
+    """vmapped jnp reference with the kernel's output layout
+    (bag [B, K, L], logits [B, K, N])."""
+    bag, logits = jax.vmap(
+        gated_attn_pool_reference,
+        in_axes=(0, 0) + (None,) * 7)(feats, mask, w1, v, bv, u, bu, w, bw)
+    return bag, logits.transpose(0, 2, 1)
+
+
+def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
+                w1_ref, v_ref, bv_ref, u_ref, bu_ref, w_ref, bw_ref,
+                dx_ref, dw1_ref, dv_ref, dbv_ref, du_ref, dbu_ref,
+                dw_ref, dbw_ref,
+                dw1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
+    """One chunked pass over x. Softmax-backward coupling uses two
+    closed forms instead of extra passes: lse per branch (from the
+    emitted logits) reconstructs p, and c_k = sum_l d_bag[k,l]*bag[k,l]
+    replaces sum_n p[n,k]*d_p[n,k] (both computed XLA-side)."""
+    bi, i = pl.program_id(0), pl.program_id(1)
+    last = jnp.logical_and(bi == pl.num_programs(0) - 1,
+                           i == pl.num_programs(1) - 1)
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _init():
+        for s in (dw1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
+            s[:] = jnp.zeros_like(s)
+
+    # --- recompute forward intermediates for this chunk --------------------
+    x = x_ref[0]                                            # [C, Df]
+    h = jnp.maximum(jnp.dot(x, w1_ref[:],
+                            preferred_element_type=jnp.float32), 0.0)
+    av_pre = jnp.dot(h, v_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+    au_pre = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32) + bu_ref[:]
+    gv, gu = jnp.tanh(av_pre), jax.nn.sigmoid(au_pre)
+    g = gv * gu
+    logits = jnp.dot(g, w_ref[:],
+                     preferred_element_type=jnp.float32) + bw_ref[:]
+    valid = mask_ref[0] > 0                                 # [C, 1]
+    p = jnp.exp(jnp.where(valid, logits, NEG) - lse_ref[0])  # [C, k_pad]
+    p = jnp.where(valid, p, 0.0)
+
+    # --- softmax + head backward -------------------------------------------
+    dbag = dbag_ref[0]                                      # [k_pad, L]
+    d_p = jax.lax.dot_general(h, dbag, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [C, k_pad]
+    d_log = p * (d_p - c_ref[0])
+    dlo = dlo_ref[0]                                        # [C, k_pad]
+    d_log = d_log + jnp.where(valid, dlo, 0.0)
+
+    d_g = jax.lax.dot_general(d_log, w_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [C, A]
+    d_av = d_g * gu * (1.0 - gv * gv)
+    d_au = d_g * gv * gu * (1.0 - gu)
+
+    d_h = jax.lax.dot_general(p, dbag, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [C, L]
+    d_h = d_h + jax.lax.dot_general(d_av, v_ref[:], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    d_h = d_h + jax.lax.dot_general(d_au, u_ref[:], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    r = jnp.where(h > 0.0, d_h, 0.0)
+    dx_ref[0] = jax.lax.dot_general(
+        r, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+    # --- weight-grad accumulators (VMEM-resident across the whole grid) ----
+    ct = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw1_s[:] += ct(x, r)
+    dv_s[:] += ct(h, d_av)
+    dbv_s[:] += jnp.sum(d_av, axis=0, keepdims=True)
+    du_s[:] += ct(h, d_au)
+    dbu_s[:] += jnp.sum(d_au, axis=0, keepdims=True)
+    dw_s[:] += ct(g, d_log)
+    dbw_s[:] += jnp.sum(d_log, axis=0, keepdims=True)
+
+    @pl.when(last)
+    def _emit():
+        dw1_ref[:] = dw1_s[:]
+        dv_ref[:] = dv_s[:]
+        dbv_ref[:] = dbv_s[:]
+        du_ref[:] = du_s[:]
+        dbu_ref[:] = dbu_s[:]
+        dw_ref[:] = dw_s[:]
+        dbw_ref[:] = dbw_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
+                    bag, logits, d_bag, d_logits,
+                    chunk: int = 1024, interpret: bool = False):
+    b, n, df = feats.shape
+    l = w1.shape[1]
+    a_dim = v.shape[1]
+    k = w.shape[1]
+    k_pad = 128
+    chunk = min(chunk, n)
+
+    # closed forms for the cross-chunk couplings (see _bwd_kernel doc)
+    masked_logits = jnp.where(mask[:, None, :], logits, NEG)
+    lse = jax.nn.logsumexp(masked_logits, axis=2)             # [B, K]
+    c = jnp.sum(d_bag * bag, axis=2)                          # [B, K]
+    # padded-K lanes: lse=0 with zero d_bag/d_logits keeps their grads 0
+    pad_k = lambda t: jnp.zeros((b, 1, k_pad), jnp.float32).at[:, 0, :k].set(t)
+    lse_p, c_p = pad_k(lse), pad_k(c)
+    dbag_p = jnp.zeros((b, k_pad, l), jnp.float32).at[:, :k].set(d_bag)
+    # token-major cotangent: pad + transpose once in XLA so the kernel
+    # reads [C, k_pad] blocks directly (an in-kernel [k_pad, C] transpose
+    # cost more than the whole backward saved)
+    dlo_p = jnp.zeros((b, n, k_pad), jnp.float32).at[:, :, :k].set(
+        d_logits.transpose(0, 2, 1))
+    w_p = jnp.zeros((a_dim, k_pad), w.dtype).at[:, :k].set(w)
+    bw_p = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(bw)
+    mask2 = mask.astype(jnp.int32)[..., None]
+    feats32 = feats.astype(jnp.float32)
+
+    grid = (b, n // chunk)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda bi, i, _nd=len(shape): (0,) * _nd,
+        memory_space=pltpu.VMEM)
+    per_bag = lambda shape: pl.BlockSpec(
+        shape, lambda bi, i: (bi,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk, df), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            per_bag((1, 1, k_pad)),            # lse
+            per_bag((1, 1, k_pad)),            # c
+            per_bag((1, k_pad, l)),            # d_bag
+            pl.BlockSpec((1, chunk, k_pad), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),   # d_logits (token-major)
+            const((df, l)), const((l, a_dim)), const((1, a_dim)),
+            const((l, a_dim)), const((1, a_dim)),
+            const((a_dim, k_pad)), const((1, k_pad)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk, df), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            const((df, l)), const((l, a_dim)), const((1, a_dim)),
+            const((l, a_dim)), const((1, a_dim)),
+            const((a_dim, k_pad)), const((1, k_pad)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, df), feats.dtype),
+            jax.ShapeDtypeStruct((df, l), jnp.float32),
+            jax.ShapeDtypeStruct((l, a_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+            jax.ShapeDtypeStruct((l, a_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+            jax.ShapeDtypeStruct((a_dim, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((df, l), jnp.float32),
+            pltpu.VMEM((l, a_dim), jnp.float32),
+            pltpu.VMEM((1, a_dim), jnp.float32),
+            pltpu.VMEM((l, a_dim), jnp.float32),
+            pltpu.VMEM((1, a_dim), jnp.float32),
+            pltpu.VMEM((a_dim, k_pad), jnp.float32),
+            pltpu.VMEM((1, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(feats32, mask2, lse_p.reshape(b, 1, k_pad), c_p.reshape(b, 1, k_pad),
+      dbag_p, dlo_p, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1),
+      w_p, bw_p)
+    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = outs
+    return (d_feats, dw1, dv, dbv.reshape(-1), du, dbu.reshape(-1),
+            dw[:, :k], dbw[0, :k])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
+                         chunk: int = 1024):
+    """Differentiable fused pooling: forward and backward each make ONE
+    streaming HBM pass over ``feats`` (the backward recomputes the chunk's
+    intermediates in VMEM). Layout matches
+    :func:`fused_gated_attn_pool_batched`.
+    """
+    return fused_gated_attn_pool_batched(
+        feats, mask, w1, v, bv, u, bu, w, bw, chunk=chunk,
+        interpret=jax.default_backend() != "tpu")
+
+
+def _gap_fwd(feats, mask, w1, v, bv, u, bu, w, bw, chunk):
+    out = gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw, chunk)
+    bag, logits = out
+    return out, (feats, mask, w1, v, bv, u, bu, w, bw, bag, logits)
+
+
+def _gap_bwd(chunk, res, g):
+    feats, mask, w1, v, bv, u, bu, w, bw, bag, logits = res
+    d_bag, d_logits = g
+    grads = _fused_pool_bwd(
+        feats, mask, w1, v, bv, u, bu, w, bw, bag, logits,
+        d_bag.astype(jnp.float32), d_logits.astype(jnp.float32),
+        chunk=chunk, interpret=jax.default_backend() != "tpu")
+    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = grads
+    return (d_feats.astype(feats.dtype), None, dw1, dv, dbv, du, dbu, dw, dbw)
+
+
+gated_attn_pool_grad.defvjp(_gap_fwd, _gap_bwd)

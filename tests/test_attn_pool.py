@@ -102,3 +102,107 @@ def test_batched_kernel_matches_per_bag():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(log_b[i]), np.asarray(log_1),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_more_than_8_branches():
+    """K>8 lifted (VERDICT r1 weak #4): pad to the 8-sublane tile."""
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.attn_pool import (fused_gated_attn_pool,
+                                         gated_attn_pool_reference)
+
+    rs = np.random.RandomState(0)
+    n, df, l, a, k = 256, 32, 16, 16, 11
+    feats = jnp.asarray(rs.randn(n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(n) < 0.9)
+    ws = [jnp.asarray(rs.randn(*s) * 0.3, jnp.float32)
+          for s in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+    bag, logits = fused_gated_attn_pool(feats, mask, *ws, chunk=128,
+                                        interpret=True)
+    ref_bag, ref_logits = gated_attn_pool_reference(feats, mask, *ws)
+    assert bag.shape == (k, l) and logits.shape == (k, n)
+    np.testing.assert_allclose(np.asarray(bag), np.asarray(ref_bag),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits.T),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gated_attn_pool_grad_matches_reference():
+    """custom_vjp wrapper: fused forward, rematerialised backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.attn_pool import (_reference_batched,
+                                         gated_attn_pool_grad)
+
+    rs = np.random.RandomState(1)
+    b, n, df, l, a, k = 2, 256, 32, 16, 16, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    ws = [jnp.asarray(rs.randn(*s) * 0.3, jnp.float32)
+          for s in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+
+    def loss_fused(feats, *ws):
+        bag, logits = gated_attn_pool_grad(feats, mask, *ws, 128)
+        return (bag ** 2).sum() + 1e-3 * jnp.tanh(logits).sum()
+
+    def loss_ref(feats, *ws):
+        bag, logits = _reference_batched(feats, mask, *ws)
+        return (bag ** 2).sum() + 1e-3 * jnp.tanh(logits).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1, 3, 6))(feats, *ws)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 3, 6))(feats, *ws)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_train_step_matches_unfused():
+    """ACMILFamily fused_train: same loss and gradients as model.apply
+    when STKIM is off (the reference ABMIL config). Gradients, not
+    post-Adam params: Adam's sign normalisation amplifies fp noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(0)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 256) < 0.8),
+              coords=jnp.zeros((2, 256, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    rng = jax.random.PRNGKey(0)
+    valid = bag.mask.any(axis=1)
+
+    results = []
+    for fused in [False, True]:
+        conf = Config(n_class=2, D_feat=32, D_inner=16, arch="ga",
+                      n_token=3, n_masked_patch=0, mask_drop=0.0,
+                      lr=1e-3, train_epoch=1)
+        conf.extra["fused_train"] = fused
+        model, fam_name = build_mil_model(conf)
+        fam = get_family(fam_name)
+        conf_d = fam.conf_dict(conf)
+        assert conf_d.get("fused", False) == fused
+        params = model.init({"params": rng},
+                            bag.feats, bag.mask)["params"]
+
+        def loss_fn(params):
+            outputs = fam.train_outputs(model.apply, params, bag,
+                                        {"stkim": rng, "dropout": rng},
+                                        conf_d)
+            loss, _ = fam.loss(outputs, bag, valid, conf_d)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        results.append((float(loss), jax.tree_util.tree_leaves(grads)))
+
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(l0, l1, rtol=2e-4)
+    for a0, a1 in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                   rtol=2e-3, atol=1e-5)
