@@ -59,6 +59,37 @@ def accumulate_scores(scores: np.ndarray, coords: np.ndarray,
     return canvas, cover
 
 
+def block_blend(slide, colored: np.ndarray, cover: np.ndarray,
+                read_level: int, alpha: float, block_size: int = 1024,
+                blank_canvas: bool = False,
+                canvas_color: Tuple[int, int, int] = (255, 255, 255)
+                ) -> np.ndarray:
+    """Blend the colored overlay against the slide in live-read blocks
+    (`WholeSlideImage.py:770-810`): covered pixels get
+    ``alpha*overlay + (1-alpha)*slide``, everything else the raw slide —
+    without ever holding a second full-level copy of the slide in RAM."""
+    h, w = colored.shape[:2]
+    ds = slide.level_downsamples[read_level]
+    out = np.empty_like(colored)
+    for ys in range(0, h, block_size):
+        ye = min(h, ys + block_size)
+        for xs in range(0, w, block_size):
+            xe = min(w, xs + block_size)
+            if blank_canvas:
+                canvas = np.full((ye - ys, xe - xs, 3), canvas_color,
+                                 np.uint8)
+            else:
+                canvas = slide.read_region(
+                    (int(xs * ds), int(ys * ds)), read_level,
+                    (xe - xs, ye - ys))
+                canvas = np.asarray(canvas)[..., :3]
+            blk = colored[ys:ye, xs:xe]
+            cov = cover[ys:ye, xs:xe] > 0
+            blended = cv2.addWeighted(blk, alpha, canvas, 1 - alpha, 0)
+            out[ys:ye, xs:xe] = np.where(cov[..., None], blended, canvas)
+    return out
+
+
 def vis_heatmap(
     slide,
     scores: np.ndarray,
@@ -69,23 +100,37 @@ def vis_heatmap(
     blur: bool = True,
     convert_to_percentiles: bool = True,
     cmap: str = "jet",
-    canvas_max: int = 2048,
+    canvas_max: Optional[int] = 2048,
+    blank_canvas: bool = False,
+    block_size: int = 1024,
 ) -> np.ndarray:
     """Render the attention overlay; returns an RGB uint8 image
-    (`visHeatmap`, `WholeSlideImage.py:575`)."""
+    (`visHeatmap`, `WholeSlideImage.py:575`).
+
+    ``vis_level`` picks the render resolution (default: the level closest
+    to 32x downsample, like the reference's ``vis_level=-1``); blending
+    against the slide happens block-by-block with live ``read_region``
+    (`block_blending:770`), so large levels never need a full second
+    copy in RAM. ``canvas_max`` only bounds the *default* level choice —
+    pass an explicit ``vis_level`` for full-resolution output.
+    """
     scores = np.asarray(scores, np.float64).reshape(-1)
     if convert_to_percentiles:
         scores = to_percentiles(scores) / 100.0  # rank-normalise to [0, 1]
 
     w0, h0 = slide.dimensions
     if vis_level is None:
-        scale = min(canvas_max / w0, canvas_max / h0, 1.0)
-        read_level = slide.best_level_for_downsample(1.0 / scale)
+        # reference default: level closest to 32x downsample
+        # (`WholeSlideImage.py:611-612`), additionally bounded by
+        # canvas_max when set (round-1 behaviour, kept for small fixtures)
+        target = 32.0
+        if canvas_max:
+            target = max(target, w0 / canvas_max, h0 / canvas_max)
+        read_level = slide.best_level_for_downsample(target)
     else:
         read_level = vis_level
-        scale = 1.0 / slide.level_downsamples[read_level]
+    scale = 1.0 / slide.level_downsamples[read_level]
     lw, lh = slide.level_dimensions[read_level]
-    base = slide.read_region((0, 0), read_level, (lw, lh))
 
     canvas, cover = accumulate_scores(scores, coords, patch_size[0],
                                       (lw, lh), scale)
@@ -97,7 +142,5 @@ def vis_heatmap(
     colored = cv2.applyColorMap((np.clip(canvas, 0, 1) * 255).astype(np.uint8), cm)
     colored = cv2.cvtColor(colored, cv2.COLOR_BGR2RGB)
 
-    out = base.copy()
-    m = cover > 0
-    out[m] = (alpha * colored[m] + (1 - alpha) * base[m]).astype(np.uint8)
-    return out
+    return block_blend(slide, colored, cover, read_level, alpha,
+                       block_size=block_size, blank_canvas=blank_canvas)

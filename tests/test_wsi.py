@@ -159,3 +159,50 @@ def test_stitch_and_heatmap(image_slide):
     white = np.full((64, 64, 3), 255, np.uint8)
     assert is_white_patch(white) and not is_black_patch(white)
     assert is_black_patch(np.zeros((64, 64, 3), np.uint8))
+
+
+def test_block_blend_matches_whole_image(image_slide):
+    """Tiled live-read blending (`WholeSlideImage.py:770-810`) must equal
+    the single-pass whole-image blend, for any block size."""
+    from acmil_tpu.wsi.heatmap import block_blend
+
+    lw, lh = image_slide.level_dimensions[0]
+    rs = np.random.RandomState(0)
+    colored = rs.randint(0, 255, (lh, lw, 3), np.uint8)
+    cover = (rs.rand(lh, lw) < 0.5).astype(np.uint8)
+    alpha = 0.4
+
+    base = np.asarray(image_slide.read_region((0, 0), 0, (lw, lh)))[..., :3]
+    import cv2
+
+    expected = np.where(cover[..., None] > 0,
+                        cv2.addWeighted(colored, alpha, base, 1 - alpha, 0),
+                        base)
+    for block in (96, 1024):
+        out = block_blend(image_slide, colored, cover, 0, alpha,
+                          block_size=block)
+        np.testing.assert_array_equal(out, expected)
+
+
+def test_vis_heatmap_full_resolution(image_slide):
+    """Explicit vis_level renders at that level's full dimensions (no
+    2048-px cap), block-blended; blank_canvas skips slide reads."""
+    from acmil_tpu.wsi.heatmap import vis_heatmap
+    from acmil_tpu.wsi.segment import segment_tissue
+    from acmil_tpu.wsi.tiling import tile_contours
+
+    seg = segment_tissue(image_slide, a_t=1, a_h=1)
+    res = tile_contours(image_slide, seg, patch_size=256, step_size=256)
+    scores = np.random.RandomState(0).rand(len(res.coords))
+
+    lw, lh = image_slide.level_dimensions[0]
+    hm = vis_heatmap(image_slide, scores, res.coords, patch_size=(256, 256),
+                     vis_level=0, block_size=500)
+    assert hm.shape == (lh, lw, 3)
+
+    blank = vis_heatmap(image_slide, scores, res.coords,
+                        patch_size=(256, 256), vis_level=0,
+                        blank_canvas=True)
+    assert blank.shape == (lh, lw, 3)
+    # uncovered pixels on a blank canvas are pure white
+    assert (blank[0, 0] == 255).all() or (hm[0, 0] == blank[0, 0]).all()
