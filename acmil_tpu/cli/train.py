@@ -45,6 +45,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--n_shot", type=int, default=None)
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--pod", action="store_true",
+                   help="multi-host pod: jax.distributed.initialize() then "
+                        "a DCN x ICI (data, seq) mesh over all processes "
+                        "(parallel/mesh.py::make_pod_mesh)")
     p.add_argument("--resume", action="store_true",
                    help="resume from checkpoint-last in ckpt_dir (full "
                         "optimizer state; the reference saved but never "
@@ -105,7 +109,12 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     train_src, val_src, test_src = build_hdf5_feat_dataset(feat_path, conf)
 
     mesh = None
-    if getattr(conf, "mesh_data", 0):
+    if bool(getattr(conf, "pod", False)):
+        from acmil_tpu.parallel import init_distributed, make_pod_mesh
+
+        init_distributed()
+        mesh = make_pod_mesh(seq=1)
+    elif getattr(conf, "mesh_data", 0):
         from acmil_tpu.parallel import make_mesh
 
         mesh = make_mesh(data=int(conf.mesh_data), seq=1)

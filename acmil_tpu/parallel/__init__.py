@@ -1,14 +1,18 @@
 from acmil_tpu.parallel.mesh import (
-    make_mesh,
     bag_sharding,
+    init_distributed,
+    make_mesh,
+    make_pod_mesh,
     replicated,
     shard_bag,
     shard_params,
 )
 
 __all__ = [
-    "make_mesh",
     "bag_sharding",
+    "init_distributed",
+    "make_mesh",
+    "make_pod_mesh",
     "replicated",
     "shard_bag",
     "shard_params",

@@ -31,9 +31,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(**kwargs) -> None:
     """Multi-host bring-up (the real version of the reference's vestigial
-    dist hooks). No-op when single-process."""
-    if jax.process_count() > 1 or kwargs:
+    dist hooks). No-op when single-process.
+
+    kwargs short-circuit first: ``jax.process_count()`` would initialise
+    the XLA backend, after which ``jax.distributed.initialize`` refuses to
+    run — the check order is load-bearing.
+    """
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+    elif jax.process_count() > 1:
+        jax.distributed.initialize()
 
 
 def make_mesh(data: Optional[int] = None, seq: int = 1,
@@ -46,6 +53,38 @@ def make_mesh(data: Optional[int] = None, seq: int = 1,
     assert data * seq <= len(devs), (data, seq, len(devs))
     arr = np.asarray(devs[: data * seq]).reshape(data, seq)
     return Mesh(arr, axis_names=("data", "seq"))
+
+
+def make_pod_mesh(seq: int = 1) -> Mesh:
+    """Multi-host ``(data, seq)`` mesh: ``data`` spans processes (DCN) x
+    local devices (ICI), ``seq`` stays inside one host's fastest links.
+
+    Layout via ``mesh_utils.create_hybrid_device_mesh`` so the slow DCN
+    hops carry only the gradient all-reduce's top level while bag-axis
+    (seq) collectives never leave a slice. Single-process it degrades to
+    :func:`make_mesh`.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(seq=seq)
+    local = jax.local_device_count()
+    assert local % seq == 0, (local, seq)
+    devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices == n_proc:
+        # real TPU pod slices: let mesh_utils optimise the ICI layout
+        from jax.experimental import mesh_utils
+
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(local // seq, seq),
+            dcn_mesh_shape=(n_proc, 1),
+            devices=devices)
+    else:
+        # no slice topology (CPU multi-process): group process-major so
+        # the data axis's outer dimension is the cross-process (DCN) hop
+        by_proc = sorted(devices, key=lambda d: (d.process_index, d.id))
+        devs = np.asarray(by_proc).reshape(n_proc * local // seq, seq)
+    return Mesh(devs, axis_names=("data", "seq"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

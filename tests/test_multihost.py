@@ -1,0 +1,96 @@
+"""2-process jax.distributed CPU test (VERDICT r1 item 5).
+
+Spawns two fresh interpreters that coordinate through
+``jax.distributed.initialize``, build the DCN x ICI pod mesh, and run a
+jit'd loss+grad over a globally sharded batch. Asserts both processes
+produce identical results AND that they match a single-process oracle on
+the concatenated batch — proving the cross-process all-reduce really
+carried the other host's shard.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+LOCAL_DEVICES = 4  # per process -> global data axis of 8
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # keep the axon TPU out of it
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    return env
+
+
+def test_two_process_distributed_train_math():
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(pid)],
+            env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        assert lines, f"no RESULT line:\n{out}\n{err}"
+        outs.append([float(t) for t in lines[-1].split()[1:]])
+
+    # both processes see the same all-reduced loss and grad norm
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+    # oracle: same math single-process on the concatenated global batch
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.models import build_mil_model
+
+    conf = Config(n_class=2, D_feat=16, D_inner=8, arch="ga", n_token=2,
+                  n_masked_patch=0, mask_drop=0.0)
+    model, _ = build_mil_model(conf)
+    n, local_rows = 64, LOCAL_DEVICES
+    feats, mask, label = [], [], []
+    for pid in range(2):
+        rs = np.random.RandomState(100 + pid)
+        feats.append(rs.randn(local_rows, n, conf.D_feat).astype(np.float32))
+        mask.append(rs.rand(local_rows, n) < 0.8)
+        label.append(rs.randint(0, 2, local_rows).astype(np.int32))
+    feats = jnp.concatenate([jnp.asarray(f) for f in feats])
+    mask = jnp.concatenate([jnp.asarray(m) for m in mask])
+    label = jnp.concatenate([jnp.asarray(l) for l in label])
+
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, mask)["params"]
+
+    def loss_fn(p):
+        sub, slide, attn = model.apply({"params": p}, feats, mask,
+                                       deterministic=True)
+        logp = jax.nn.log_softmax(slide, axis=-1)
+        return -jnp.take_along_axis(logp, label[:, None], 1)[:, 0].mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    gn = float(jnp.linalg.norm(flat))
+    np.testing.assert_allclose(outs[0], [float(loss), gn], rtol=1e-5)
