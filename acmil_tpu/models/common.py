@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -120,3 +121,61 @@ class AttnNetGated(nn.Module):
             au = nn.Dropout(self.droprate)(au, deterministic=deterministic)
         a = nn.Dense(self.n_token)(av * au)
         return jnp.swapaxes(a, -1, -2)
+
+
+class MlpHead(nn.Module):
+    """Two-layer MLP head (`modules/mlp.py:2-21`)."""
+
+    hid_dim: int = 512
+    out_dim: int = 1
+    bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        shape = x.shape
+        x = x.reshape(-1, shape[-1])
+        x = nn.Dense(self.hid_dim)(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=deterministic)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out_dim)(x)
+        return x.reshape(*shape[:-1], self.out_dim)
+
+
+class MlpHeadDINO(nn.Module):
+    """DINO projection head (`modules/mlp.py:22-52`): n-layer GELU MLP to a
+    bottleneck, L2-normalise, then a weight-normed bias-free last layer
+    with g frozen at 1 when ``norm_last_layer`` (direction-only output)."""
+
+    out_dim: int
+    nlayers: int = 2
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    use_bn: bool = False
+    norm_last_layer: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        nlayers = max(self.nlayers, 1)
+        if nlayers == 1:
+            x = nn.Dense(self.bottleneck_dim)(x)
+        else:
+            x = nn.Dense(self.hidden_dim)(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=deterministic)(x)
+            x = nn.gelu(x, approximate=False)
+            for _ in range(nlayers - 2):
+                x = nn.Dense(self.hidden_dim)(x)
+                if self.use_bn:
+                    x = nn.BatchNorm(use_running_average=deterministic)(x)
+                x = nn.gelu(x, approximate=False)
+            x = nn.Dense(self.bottleneck_dim)(x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        # weight_norm(Linear(bias=False)): W = g * V / ||V||_row
+        v = self.param("last_v", nn.initializers.lecun_normal(),
+                       (self.bottleneck_dim, self.out_dim))
+        g = self.param("last_g", nn.initializers.ones, (self.out_dim,))
+        if self.norm_last_layer:
+            g = jax.lax.stop_gradient(g)
+        w = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12) * g
+        return x @ w

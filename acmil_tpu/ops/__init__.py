@@ -14,7 +14,9 @@ from acmil_tpu.ops.attn_pool import (
 )
 from acmil_tpu.ops.nystrom import nystrom_attention, newton_schulz_pinv
 from acmil_tpu.ops.kmeans import kmeans, pca_whiten, build_confounder_prototypes
-from acmil_tpu.ops.topk_svm import smooth_top1_svm_loss
+from acmil_tpu.ops.topk_svm import (smooth_top1_svm_loss,
+                                    smooth_topk_svm_loss,
+                                    topk_hard_svm_loss)
 from acmil_tpu.ops.sam import sam_gradient
 
 __all__ = [
@@ -34,5 +36,7 @@ __all__ = [
     "pca_whiten",
     "build_confounder_prototypes",
     "smooth_top1_svm_loss",
+    "smooth_topk_svm_loss",
+    "topk_hard_svm_loss",
     "sam_gradient",
 ]

@@ -177,3 +177,138 @@ def test_mhim_pos_variants(tiny_conf):
         v = enc.init({"params": jax.random.PRNGKey(0)}, x)
         out = enc.apply(v, x)
         assert out.shape == (1, 32)
+
+
+class TestSmoothTopkSVM:
+    """k>1 machinery (`modules/topk/functional.py:46-72`) vs brute force."""
+
+    @staticmethod
+    def _brute_force(scores, labels, k, alpha, tau):
+        """Direct subset enumeration of the Berrada et al. loss."""
+        import itertools
+
+        n, C = scores.shape
+        out = []
+        for i in range(n):
+            y = int(labels[i])
+            x = scores[i] / (k * tau)
+            others = [j for j in range(C) if j != y]
+            s_k = sum(np.exp(sum(x[list(A)]))
+                      for A in itertools.combinations(others, k))
+            s_km1 = sum(np.exp(sum(x[list(A)]))
+                        for A in itertools.combinations(others, k - 1))
+            pos = s_k * np.exp(alpha / tau) + s_km1 * np.exp(x[y])
+            neg = s_km1 * np.exp(x[y])
+            out.append(tau * (np.log(pos) - np.log(neg)))
+        return float(np.mean(out))
+
+    def test_matches_brute_force(self):
+        import jax.numpy as jnp
+
+        from acmil_tpu.ops.topk_svm import smooth_topk_svm_loss
+
+        rs = np.random.RandomState(0)
+        scores = rs.randn(5, 6).astype(np.float64) * 2
+        labels = rs.randint(0, 6, 5)
+        for k in (2, 3):
+            for tau in (0.5, 1.0):
+                got = float(smooth_topk_svm_loss(
+                    jnp.asarray(scores), jnp.asarray(labels), k, 1.0, tau))
+                want = self._brute_force(scores, labels, k, 1.0, tau)
+                np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_k1_equals_top1_closed_form(self):
+        import jax.numpy as jnp
+
+        from acmil_tpu.ops.topk_svm import (smooth_top1_svm_loss,
+                                            smooth_topk_svm_loss)
+
+        rs = np.random.RandomState(1)
+        scores = jnp.asarray(rs.randn(7, 4).astype(np.float32))
+        labels = jnp.asarray(rs.randint(0, 4, 7))
+        np.testing.assert_allclose(
+            float(smooth_topk_svm_loss(scores, labels, 1, 1.0, 0.7)),
+            float(smooth_top1_svm_loss(scores, labels, 1.0, 0.7)), rtol=1e-6)
+
+    def test_grads_finite_and_hard_variant(self):
+        import jax
+        import jax.numpy as jnp
+
+        from acmil_tpu.ops.topk_svm import (smooth_topk_svm_loss,
+                                            topk_hard_svm_loss)
+
+        rs = np.random.RandomState(2)
+        scores = jnp.asarray(rs.randn(4, 8).astype(np.float32))
+        labels = jnp.asarray(rs.randint(0, 8, 4))
+        g = jax.grad(lambda s: smooth_topk_svm_loss(s, labels, 3))(scores)
+        assert np.isfinite(np.asarray(g)).all()
+        h = topk_hard_svm_loss(scores, labels, 3)
+        assert np.isfinite(float(h)) and float(h) >= 0
+        # smooth -> hard as tau -> 0
+        sm = float(smooth_topk_svm_loss(scores, labels, 3, 1.0, 1e-3))
+        np.testing.assert_allclose(sm, float(h), atol=1e-2)
+
+
+def test_mlp_head_dino_parity():
+    """MlpHeadDINO vs the reference torch implementation
+    (`modules/mlp.py:22-52`), weights copied across."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.common import MlpHeadDINO
+
+    in_dim, out_dim, hid, bot = 16, 10, 32, 8
+
+    class TorchDINO(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlp = torch.nn.Sequential(
+                torch.nn.Linear(in_dim, hid), torch.nn.GELU(),
+                torch.nn.Linear(hid, bot))
+            self.last = torch.nn.utils.weight_norm(
+                torch.nn.Linear(bot, out_dim, bias=False))
+            self.last.weight_g.data.fill_(1)
+
+        def forward(self, x):
+            x = self.mlp(x)
+            x = torch.nn.functional.normalize(x, dim=-1, p=2)
+            return self.last(x)
+
+    tm = TorchDINO().eval()
+    fm = MlpHeadDINO(out_dim=out_dim, nlayers=2, hidden_dim=hid,
+                     bottleneck_dim=bot)
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, in_dim).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    sd = tm.state_dict()
+    params = {
+        "Dense_0": {"kernel": jnp.asarray(sd["mlp.0.weight"].numpy().T),
+                    "bias": jnp.asarray(sd["mlp.0.bias"].numpy())},
+        "Dense_1": {"kernel": jnp.asarray(sd["mlp.2.weight"].numpy().T),
+                    "bias": jnp.asarray(sd["mlp.2.bias"].numpy())},
+        "last_v": jnp.asarray(sd["last.weight_v"].numpy().T),
+        "last_g": jnp.asarray(sd["last.weight_g"].numpy().reshape(-1)),
+    }
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # norm_last_layer freezes g
+    g = jax.grad(lambda p: fm.apply({"params": p}, jnp.asarray(x)).sum())(params)
+    assert float(np.abs(np.asarray(g["last_g"])).max()) == 0.0
+    assert float(np.abs(np.asarray(g["last_v"])).max()) > 0.0
+
+
+def test_mlp_head_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.common import MlpHead
+
+    m = MlpHead(hid_dim=8, out_dim=3)
+    x = jnp.ones((2, 5, 16))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (2, 5, 3)
