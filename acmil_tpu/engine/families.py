@@ -88,6 +88,15 @@ class ACMILFamily(Family):
             return acmil_ga_apply_batched(params, bag.feats, bag.mask)
         return super().train_outputs(apply_fn, params, bag, rngs, conf_d)
 
+    def eval_outputs(self, apply_fn, params, bag):
+        # eval is always deterministic (no STKIM/dropout), so the fused
+        # kernel is valid for every GA-structured param tree
+        if "AttentionGated_0" in params:
+            from acmil_tpu.models.fast import acmil_ga_apply_batched
+
+            return acmil_ga_apply_batched(params, bag.feats, bag.mask)
+        return super().eval_outputs(apply_fn, params, bag)
+
     def loss(self, outputs, bag, valid, conf_d):
         sub, slide, attn = outputs
         return L.acmil_loss(sub, slide, attn, bag.label, bag.mask,

@@ -136,7 +136,11 @@ def build_encoder(conf, dtype=jnp.bfloat16, fast: bool = True):
         raise ValueError(f"unknown encoder {key}; have {sorted(ENCODER_SPECS)}")
     encoder = spec.builder(dtype)
     if fast and isinstance(encoder, ViT) and dtype == jnp.bfloat16:
-        encoder = encoder.clone(softmax_f32=False)
+        # packed fused MHA (no head-relayout HBM traffic, f32 softmax in
+        # VMEM): 1.5-1.7x the attention subgraph on ViT-B/CLIP-L
+        # (BENCH_NOTES.md); ViT-S additionally upgrades to the whole-layer
+        # kernel inside encoder_feature_fn
+        encoder = encoder.clone(softmax_f32=False, attn_impl="fused")
     model = CustomModel(encoder=encoder, n_class=conf.n_class)
 
     variables = None

@@ -59,26 +59,29 @@ class SelfAttention(nn.Module):
         b, n, _ = x.shape
         dh = self.dim // self.heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        if self.attn_impl == "fused":
+            # packed-layout fused MHA: consumes qkv token-major straight
+            # from the Dense and emits token-major output for proj — no
+            # [B,H,N,dh] relayouts cross HBM and the score tensor stays in
+            # VMEM (ops/vit_attn_packed.py; f32 softmax in-kernel)
+            from acmil_tpu.ops.vit_attn_packed import fused_mha_packed
+
+            out = fused_mha_packed(qkv, self.heads).astype(self.dtype)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(t):
             return t.reshape(b, n, self.heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if self.attn_impl == "fused":
-            # one VMEM-resident QK^T->softmax->PV per batch element; the
-            # [B,H,N,N] score tensor never touches HBM (ops/vit_attn.py)
-            from acmil_tpu.ops.vit_attn import fused_vit_attention
-
-            out = fused_vit_attention(q, k, v).astype(self.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh).astype(
+            self.dtype)
+        if self.softmax_f32:
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh).astype(
-                self.dtype)
-            if self.softmax_f32:
-                attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            else:
-                attn = nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

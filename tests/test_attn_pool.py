@@ -206,3 +206,40 @@ def test_fused_train_step_matches_unfused():
     for a0, a1 in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_fused_eval_outputs_match_apply():
+    """ACMILFamily.eval_outputs routes GA param trees through the fused
+    kernel; outputs must match model.apply deterministic forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(3)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 256) < 0.8),
+              coords=jnp.zeros((2, 256, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    conf = Config(n_class=2, D_feat=32, D_inner=16, arch="ga", n_token=4,
+                  n_masked_patch=6, mask_drop=0.5)  # STKIM on: eval ignores
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        bag.feats, bag.mask)["params"]
+
+    sub_f, slide_f, attn_f = fam.eval_outputs(model.apply, params, bag)
+    sub_r, slide_r, attn_r = model.apply({"params": params}, bag.feats,
+                                         bag.mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(slide_f), np.asarray(slide_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sub_f), np.asarray(sub_r),
+                               rtol=2e-4, atol=2e-5)
+    # attention logits: fused emits mask-NEG'd raw logits; the module
+    # returns raw logits — compare on valid slots only
+    m = np.asarray(bag.mask)[:, None, :]
+    diff = np.abs(np.asarray(attn_f) - np.asarray(attn_r)) * m
+    assert diff.max() < 2e-4

@@ -135,3 +135,32 @@ def test_vit_encode_real_shape_small_batch():
     out = np.asarray(vit_encode(p, x, patch=16, depth=2, heads=6,
                                 dtype=jnp.float32))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 197, 96, 3), (1, 577, 64, 4),
+                                   (1, 300, 32, 2)])
+def test_packed_mha_matches_reference(shape):
+    """Token-major packed MHA (ops/vit_attn_packed.py), incl. the
+    ragged-final-query-chunk case (n=577 > q_chunk)."""
+    from acmil_tpu.ops.vit_attn_packed import (_reference_packed,
+                                               fused_mha_packed)
+
+    b, n, d, h = shape
+    rs = np.random.RandomState(0)
+    qkv = jnp.asarray(rs.randn(b, n, 3 * d), jnp.float32)
+    out = fused_mha_packed(qkv, h)
+    ref = _reference_packed(qkv, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_packed_mha_grad_falls_back():
+    from acmil_tpu.ops.vit_attn_packed import (_reference_packed,
+                                               fused_mha_packed)
+
+    rs = np.random.RandomState(1)
+    qkv = jnp.asarray(rs.randn(1, 40, 3 * 32), jnp.float32)
+    g1 = jax.grad(lambda q: fused_mha_packed(q, 2).sum())(qkv)
+    g2 = jax.grad(lambda q: _reference_packed(q, 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
