@@ -47,7 +47,7 @@ def _k_out(k: int) -> int:
 
 
 def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
-            w_ref, bw_ref, bag_ref, logits_ref,
+            w_ref, bw_ref, bag_ref, logits_ref, m_ref, s_ref,
             m_scr, s_scr, acc_scr):
     # grid = (B, n_chunks); chunks iterate fastest, so the running stats
     # reset at the first chunk of every bag
@@ -93,9 +93,13 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
     @pl.when(i == n_chunks - 1)
     def _final():
         bag_ref[0] = acc_scr[:] / jnp.maximum(s_scr[:].T, 1e-12)
+        # online-softmax stats: lets shards of a seq-sharded bag combine
+        # (bag_global = sum_i bag_i*s_i*exp(m_i-m*) / sum_i s_i*exp(m_i-m*))
+        m_ref[0] = m_scr[:]
+        s_ref[0] = s_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "return_stats"))
 def fused_gated_attn_pool_batched(
     feats: jnp.ndarray,       # [B, N, Df] float32/bf16
     mask: jnp.ndarray,        # [B, N] bool
@@ -108,9 +112,11 @@ def fused_gated_attn_pool_batched(
     bw: jnp.ndarray,          # [K]
     chunk: int = 1024,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Batched fused pooling. Returns (bag_feats [B, K, L],
-    attn_logits [B, K, N]).
+    attn_logits [B, K, N]); with ``return_stats`` also the online-softmax
+    running stats (max [B, K], denom [B, K]) for cross-shard combining.
 
     K is padded to the 128-lane tile for the running stats and to
     ``K_OUT`` sublanes for the emitted logit rows; N must be a multiple of
@@ -134,7 +140,7 @@ def fused_gated_attn_pool_batched(
 
     grid = (b, n // chunk)
     const = lambda bi, i: (0, 0)
-    bag, logits = pl.pallas_call(
+    bag, logits, m_out, s_out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
@@ -155,10 +161,16 @@ def fused_gated_attn_pool_batched(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_out, chunk), lambda bi, i: (bi, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k_pad, l), jnp.float32),
             jax.ShapeDtypeStruct((b, k_out, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, k_pad), jnp.float32),   # running max
@@ -167,6 +179,8 @@ def fused_gated_attn_pool_batched(
         ],
         interpret=interpret,
     )(feats, mask2, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1), w_p, bw_p)
+    if return_stats:
+        return bag[:, :k], logits[:, :k], m_out[:, 0, :k], s_out[:, 0, :k]
     return bag[:, :k], logits[:, :k]
 
 
@@ -403,3 +417,55 @@ def _gap_bwd(chunk, res, g):
 
 
 gated_attn_pool_grad.defvjp(_gap_fwd, _gap_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-sharded pooling: distributed online softmax over the patch axis
+# ---------------------------------------------------------------------------
+
+def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
+                            seq_axis: str = "seq", chunk: int = 1024):
+    """Fused pooling for mega-bags sharded along the patch axis.
+
+    Each device runs the streaming kernel on its local shard, then the
+    shards combine with the flash-attention merge rule over ICI:
+
+        m* = pmax(m_i);  w_i = s_i * exp(m_i - m*)
+        bag = psum(bag_i * w_i) / psum(w_i)
+
+    — O(K*(L+1)) bytes of collective traffic per bag, independent of N.
+    This is the TPU-native replacement for the reference's algorithmic
+    long-bag workarounds (SURVEY §5.7): nothing is approximated, the
+    result equals the single-device kernel bit-for-bit up to f32
+    summation order. Empty shards (all-masked) contribute w_i = 0.
+
+    feats [B, N, Df] / mask [B, N] must be sharded ``P(None, seq_axis)``;
+    weights replicated. Returns (bag [B, K, L] replicated,
+    attn_logits [B, K, N] sharded along ``seq_axis``).
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    interp = jax.default_backend() != "tpu"
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, seq_axis, None), P(None, seq_axis),
+                  *(P(None, None) for _ in range(2)), P(None),
+                  P(None, None), P(None), P(None, None), P(None)),
+        out_specs=(P(None, None, None), P(None, None, seq_axis)),
+        check_rep=False,
+    )
+    def run(feats, mask, w1, v, bv, u, bu, w, bw):
+        bag, logits, m, s = fused_gated_attn_pool_batched(
+            feats, mask, w1, v, bv, u, bu, w, bw, chunk=chunk,
+            interpret=interp, return_stats=True)
+        m_star = jax.lax.pmax(m, seq_axis)
+        wgt = s * jnp.exp(m - m_star)                    # [B, K]
+        acc = jax.lax.psum(bag * wgt[..., None], seq_axis)
+        denom = jax.lax.psum(wgt, seq_axis)
+        return acc / jnp.maximum(denom[..., None], 1e-12), logits
+
+    return run(feats, mask, w1, v, bv, u, bu, w, bw)

@@ -243,3 +243,35 @@ def test_fused_eval_outputs_match_apply():
     m = np.asarray(bag.mask)[:, None, :]
     diff = np.abs(np.asarray(attn_f) - np.asarray(attn_r)) * m
     assert diff.max() < 2e-4
+
+
+def test_sharded_pool_matches_single_device():
+    """Seq-sharded fused pooling (distributed online-softmax combine)
+    equals the single-device kernel on the full bag."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.attn_pool import (fused_gated_attn_pool_batched,
+                                         sharded_gated_attn_pool)
+    from acmil_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, seq=4)
+    rs = np.random.RandomState(0)
+    b, n, df, l, a, k = 2, 1024, 32, 16, 16, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    # mask pattern that empties one shard entirely for bag 0
+    mask = rs.rand(b, n) < 0.7
+    mask[0, 256:512] = False
+    mask = jnp.asarray(mask)
+    ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
+          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+
+    ref_bag, ref_logits = fused_gated_attn_pool_batched(
+        feats, mask, *ws, chunk=256, interpret=True)
+    with mesh:
+        bag, logits = sharded_gated_attn_pool(feats, mask, *ws, mesh=mesh,
+                                              chunk=256)
+    np.testing.assert_allclose(np.asarray(bag), np.asarray(ref_bag),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
