@@ -166,6 +166,10 @@ def main():
                             f"patch_feats_pretrain_{conf.pretrain}.h5")
     coord_files = sorted(f for f in os.listdir(args.coords_dir)
                          if f.endswith(".h5"))
+    if not coord_files:
+        raise SystemExit(
+            f"no coord .h5 files in {args.coords_dir!r} — Step1 writes "
+            "them under <save_dir>/patches/")
     with h5py.File(out_path, "a") as fout:
         for cf in coord_files:
             name = os.path.splitext(cf)[0]

@@ -217,6 +217,17 @@ def build_hdf5_feat_dataset(file_path: str, conf):
     else:  # camelyon and anything camelyon-shaped
         tr, va, te = _camelyon_names(file_path, conf)
 
+    with h5py.File(file_path, "r") as f:
+        have = set(f.keys())
+    missing = [n for n in (*tr, *va, *te) if n not in have]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} split slide names are not in {file_path!r} "
+            f"(e.g. {missing[:3]}); the split (dataset={conf.dataset!r}, "
+            f"seed={conf.seed}) does not describe this feature dump. If "
+            "these are not protocol slides, point split_dir elsewhere or "
+            "use a seed without a frozen split file.")
+
     preload = bool(getattr(conf, "preload", False))
     train = FeatureBagSource(file_path, tr, label_map, preload=preload)
     train = _fewshot(train, getattr(conf, "n_shot", -1), conf.seed)
