@@ -123,8 +123,18 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     # their batches resident on device across epochs
     kw = dict(min_bucket=conf.min_bucket, max_patches=conf.max_patches,
               mesh=mesh, dtype=np.float16)
+    # Train bags cache on device too when they fit comfortably in HBM:
+    # re-transferring every bag each epoch through the host link costs
+    # ~40s/epoch at Camelyon16 scale vs <1s of actual compute
+    # (BENCH_NOTES.md). With B=1 (the reference protocol) replaying cached
+    # single-bag batches in a fresh random order IS shuffled training;
+    # with B>1 batch composition would freeze, so it stays off unless
+    # forced via cache_train.
+    feat_bytes = sum(train_src.lengths()) * conf.D_feat * 2
+    cache_train = bool(conf.extra.get(
+        "cache_train", conf.B == 1 and feat_bytes < 6 * 2 ** 30))
     train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
-                             seed=conf.seed, **kw)
+                             seed=conf.seed, cache_device=cache_train, **kw)
     val_loader = BagLoader(val_src, conf.B, cache_device=True, **kw)
     test_loader = BagLoader(test_src, conf.B, cache_device=True, **kw)
 

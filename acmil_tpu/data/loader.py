@@ -56,7 +56,10 @@ class BagLoader:
         self.data_axis = data_axis
         self.prefetch = prefetch
         self.dtype = dtype
-        assert not (cache_device and shuffle), "cache_device needs shuffle=False"
+        # cache_device + shuffle: batches are built (and placed on device)
+        # once; epochs replay them in a fresh random ORDER. With B=1 this
+        # is exactly shuffled training (every batch is one bag); with B>1
+        # the within-batch composition is frozen after the first epoch.
         self.cache_device = cache_device
         self._device_batches = None
         self._sharding = None
@@ -115,7 +118,10 @@ class BagLoader:
             if self._device_batches is None:
                 self._device_batches = [self._make_batch(g)
                                         for g in self._plan()]
-            yield from self._device_batches
+            order = (self.rng.permutation(len(self._device_batches))
+                     if self.shuffle else range(len(self._device_batches)))
+            for i in order:
+                yield self._device_batches[i]
             return
         groups = self._plan()
         if self.prefetch <= 0:
