@@ -24,26 +24,25 @@ import numpy as np
 
 
 def extract_slide_features(model, variables, spec, slide, coords,
-                           patch_size_l0, patch_level, batch_size=256):
-    import jax
-    import jax.numpy as jnp
-
+                           patch_size_l0, patch_level, batch_size=256,
+                           embed=None):
     from acmil_tpu.data.patch_dataset import SlidePatchBatches
-    from acmil_tpu.models.encoders.build import encoder_feature_fn, preprocess
+    from acmil_tpu.models.encoders.build import encoder_feature_fn
 
-    feat_fn = encoder_feature_fn(model, variables, spec)
-
-    @jax.jit
-    def embed(images_u8):
-        x = preprocess(images_u8, spec)
-        return feat_fn(x).astype(jnp.float16)
+    if embed is None:
+        # uint8 batch -> fp16 features; params enter as device-resident
+        # jit ARGUMENTS. Callers looping over slides should build this
+        # ONCE via encoder_feature_fn and pass it in — every fresh
+        # closure is a fresh jit instance whose executable reloads
+        # through the compile relay (~8s; BENCH_NOTES.md)
+        embed = encoder_feature_fn(model, variables, spec)
 
     src = SlidePatchBatches(slide, coords, patch_size_l0, patch_level,
                             target_size=spec.img_size, batch_size=batch_size)
     feats = []
     n_done = 0
     for imgs, _, n in src:
-        out = np.asarray(embed(jnp.asarray(imgs)))
+        out = np.asarray(embed(imgs))
         feats.append(out[:n])
         n_done += n
     return np.concatenate(feats) if feats else np.zeros((0, spec.embed_dim),
@@ -59,16 +58,12 @@ def extract_roi_features(model, variables, spec, roi_dir, output_dir,
     import jax
     import jax.numpy as jnp
 
-    from acmil_tpu.models.encoders.build import preprocess
+    from acmil_tpu.models.encoders.build import encoder_feature_fn
 
     classes = sorted(d for d in os.listdir(roi_dir)
                      if os.path.isdir(os.path.join(roi_dir, d)))
 
-    @jax.jit
-    def embed(images_u8):
-        x = preprocess(images_u8, spec)
-        _, feat = model.apply(variables, x, return_feature=True)
-        return feat
+    embed = encoder_feature_fn(model, variables, spec, out_dtype=jnp.float32)
 
     feats, labels = [], []
     for ci, cls in enumerate(classes):
@@ -161,6 +156,9 @@ def main():
         df = pd.read_csv(args.label_csv)
         labels = dict(zip(df["slide_id"].astype(str), df["label"]))
 
+    from acmil_tpu.models.encoders.build import encoder_feature_fn
+
+    embed = encoder_feature_fn(model, variables, spec)  # shared jit
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir,
                             f"patch_feats_pretrain_{conf.pretrain}.h5")
@@ -196,7 +194,8 @@ def main():
                                 attrs.get("downsample", 1.0))
             feats = extract_slide_features(
                 model, variables, spec, slide, coords, patch_size_l0,
-                int(attrs.get("patch_level", 0)), args.batch_size)
+                int(attrs.get("patch_level", 0)), args.batch_size,
+                embed=embed)
             dt = time.time() - t0
             g = fout.create_group(name)
             g.create_dataset("feat", data=feats.astype(np.float16))

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models.encoders.resnet import resnet18, resnet50
@@ -177,15 +178,32 @@ def preprocess(images_u8, spec: EncoderSpec, dtype=jnp.bfloat16):
     return ((x - mean) / std).astype(dtype)
 
 
-def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True):
-    """Feature-extraction closure for the Step2 engine.
+def _device_put_arrays(tree):
+    """device_put real array leaves; pass ShapeDtypeStructs through
+    (tests probe routing with jax.eval_shape trees)."""
+    return jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.ShapeDtypeStruct)
+        else jax.device_put(a), tree)
+
+
+def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
+                       out_dtype=jnp.float16):
+    """Feature-extraction closure for the Step2 engine: uint8 image batch
+    -> fp16 features.
 
     Routes plain-GELU ViT trunks whose layers fit VMEM (ViT-S family)
     through the layer-fused Pallas path (ops/vit_layer.py; ~2x the
     unfused throughput on v5e — BENCH_NOTES.md), everything else through
     ``model.apply``. Output matches `CustomModel.forward(return_feature=
     True)`'s feature tensor (`models.py:164-179`).
+
+    Params enter the jitted graph as ARGUMENTS, device-put once —
+    closing over them would embed ~100 MB of constants in the HLO, and
+    every fresh closure would re-trace/re-compile a constant-laden
+    program (25s+ through a remote-compile relay, BENCH_NOTES.md).
     """
+    import functools
+
     enc = model.encoder
     if (fast and isinstance(enc, ViT) and enc.act == "gelu"
             and not enc.layerscale and not enc.pre_norm
@@ -197,17 +215,31 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True):
         if fits_vmem(enc.dim, int(enc.dim * enc.mlp_ratio), n_pad, enc.heads):
             from acmil_tpu.models.encoders.fast import vit_encode
 
-            enc_params = variables["params"]["encoder"]
+            enc_params = _device_put_arrays(
+                variables["params"]["encoder"])
 
-            def feat_fn(x):
-                return vit_encode(enc_params, x, patch=enc.patch,
+            @functools.partial(jax.jit, static_argnums=())
+            def run(params, images_u8):
+                x = preprocess(images_u8, spec, dtype=enc.dtype)
+                return vit_encode(params, x, patch=enc.patch,
                                   depth=enc.depth, heads=enc.heads,
-                                  dtype=enc.dtype)
+                                  dtype=enc.dtype).astype(out_dtype)
+
+            def feat_fn(images_u8):
+                return run(enc_params, jnp.asarray(images_u8))
 
             return feat_fn
 
-    def feat_fn(x):
-        _, feat = model.apply(variables, x, return_feature=True)
-        return feat
+    dev_vars = _device_put_arrays(variables)
+    dtype = getattr(enc, "dtype", jnp.float32)
+
+    @jax.jit
+    def run_apply(vs, images_u8):
+        x = preprocess(images_u8, spec, dtype=dtype)
+        _, feat = model.apply(vs, x, return_feature=True)
+        return feat.astype(out_dtype)
+
+    def feat_fn(images_u8):
+        return run_apply(dev_vars, jnp.asarray(images_u8))
 
     return feat_fn
