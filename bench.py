@@ -13,7 +13,8 @@ host readback. Numbers therefore include one extra full HBM rewrite of
 the input per iteration — they are conservative upper bounds.
 
 Prints one JSON line per metric; ``vs_baseline`` > 1.0 beats the target.
-The extraction line prints last.
+The extraction line prints first (it is the round-2 headline and must
+survive any driver-side truncation).
 """
 
 from __future__ import annotations
@@ -102,8 +103,8 @@ def bench_extraction_throughput(batch=512):
 
 
 def main():
-    bench_mil_latency()
     bench_extraction_throughput()
+    bench_mil_latency()
 
 
 if __name__ == "__main__":
