@@ -12,10 +12,9 @@ optimizer step, MHIM's EMA teacher) override ``make_train_step`` wholesale.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 from acmil_tpu.data.bags import Bag
 from acmil_tpu.engine import losses as L

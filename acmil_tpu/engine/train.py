@@ -12,7 +12,6 @@ contribute zero loss.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -21,7 +21,7 @@ RNG streams: ``stkim`` (instance masking), ``dropout``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -7,8 +7,6 @@ the reference's ``x[0]`` unbatching (`transformer.py:307`).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ are never critical (reference softmax at dsmil.py:80 is over N after the
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model

@@ -7,7 +7,6 @@ conversion. Used by Step4 heatmaps and `bench.py`.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from acmil_tpu.ops.attn_pool import fused_gated_attn_pool

@@ -14,10 +14,7 @@ tokens are always valid). Gating (SiLU of the query input) matches
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model

@@ -8,7 +8,6 @@ Masked: mean counts only valid patches; max ignores pads.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
 from acmil_tpu.ops.masked import masked_max, masked_mean

@@ -28,12 +28,11 @@ the reference's "remove it from the sequence".
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from acmil_tpu.engine.families import Family, register_family
 from acmil_tpu.engine import losses as L

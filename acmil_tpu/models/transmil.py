@@ -18,8 +18,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

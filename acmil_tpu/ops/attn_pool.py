@@ -26,7 +26,7 @@ path, exposed through :func:`acmil_tpu.models.fast.acmil_ga_infer`.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ squared distance (done with a fixed number of passes, all static shapes).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

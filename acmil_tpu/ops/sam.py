@@ -9,7 +9,7 @@ base optimizer with that gradient — one jit step, two grad evaluations.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 import ctypes as C
 import os
 import subprocess
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

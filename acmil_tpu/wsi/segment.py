@@ -13,8 +13,8 @@ This is preprocessing, not a hot path — it stays on host CPU by design
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
 
 import cv2
 import numpy as np

@@ -8,7 +8,6 @@ visual QA), `isWhitePatch:10` / `isBlackPatch:17` filters, and
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import cv2

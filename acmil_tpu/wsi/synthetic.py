@@ -5,7 +5,7 @@
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
