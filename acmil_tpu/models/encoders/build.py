@@ -211,7 +211,7 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
         from acmil_tpu.ops.vit_layer import fits_vmem
 
         n_tok = (spec.img_size // enc.patch) ** 2 + 1
-        n_pad = (n_tok + 127) // 128 * 128
+        n_pad = (n_tok + 15) // 16 * 16  # matches ops/vit_layer.py padding
         if fits_vmem(enc.dim, int(enc.dim * enc.mlp_ratio), n_pad, enc.heads):
             from acmil_tpu.models.encoders.fast import vit_encode
 

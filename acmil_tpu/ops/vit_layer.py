@@ -138,7 +138,11 @@ def _unfused_layer(x, w, heads):
 def _fused_layer_impl(x, w, heads):
     b, n, d = x.shape
     hidden = w["fc1"]["kernel"].shape[1]
-    n_pad = _round_up(n, 128)
+    # Sublane granularity is enough for the token axis (bf16 tiles are
+    # 16x128 on the second-minor dim): 197 tokens pad to 208, not 256 —
+    # the qkv/proj/mlp GEMMs are M-dim proportional, so this alone cuts
+    # ~18% of the layer's MXU work for the Step2 ViT-S/16 workload.
+    n_pad = _round_up(n, 16)
     if not fits_vmem(d, hidden, n_pad, heads):
         return _unfused_layer(x, w, heads)
 
