@@ -46,39 +46,51 @@ def _ln_f32(h, scale, bias):
 def _layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                   wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                  *, heads: int, n_valid: int):
-    """One batch element, whole encoder layer resident in VMEM."""
-    x = x_ref[0].astype(jnp.float32)               # [N_pad, D]
-    n_pad, d = x.shape
+                  *, heads: int, n_valid: int, g: int, n_pad: int):
+    """``g`` batch elements per program, whole encoder layer in VMEM.
+
+    The g images' tokens are stacked along the GEMM M-axis ([g*N_pad, D])
+    so the qkv/proj/mlp matmuls run at M=g*208 instead of 208 — the MXU
+    pipeline-fill fraction at M=208 costs ~11% end-to-end (measured
+    g=1 14.2k vs g=4 15.9k img/s on the 12-layer chain). Attention stays
+    per-image (keys never mix across the g images).
+    """
+    d = x_ref.shape[-1]
     dh = d // heads
+    x = x_ref[:].reshape(g * n_pad, d).astype(jnp.float32)
 
     # --- attention half ---------------------------------------------------
     y = _ln_f32(x, ln1s_ref[0], ln1b_ref[0]).astype(x_ref.dtype)
     qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(x_ref.dtype)   # [N_pad, 3D]
+    qkv = (qkv + bqkv_ref[0]).astype(x_ref.dtype)   # [g*N_pad, 3D]
 
     # per-head 2D slices: Mosaic cannot lower the [N, D] -> [H, N, dh]
     # shape-cast, but static lane slices + 2D matmuls it handles natively
     col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, dh), 0)
     scale = 1.0 / float(np.sqrt(dh))
     outs = []
-    for hh in range(heads):
-        sl = slice(hh * dh, (hh + 1) * dh)
-        q_h = qkv[:, 0 * d:1 * d][:, sl]
-        k_h = qkv[:, 1 * d:2 * d][:, sl]
-        v_h = qkv[:, 2 * d:3 * d][:, sl]
-        # rows past n_valid are bounds-masking garbage (possibly NaN);
-        # their softmax weight is exactly 0 but 0*NaN = NaN in the PV dot
-        row = jax.lax.broadcasted_iota(jnp.int32, v_h.shape, 0)
-        v_h = jnp.where(row < n_valid, v_h, 0)
-        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(col2 < n_valid, s, -jnp.inf)   # mask padded keys
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(x_ref.dtype)
-        outs.append(jnp.dot(p, v_h, preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)
+    for gi in range(g):
+        tok = slice(gi * n_pad, (gi + 1) * n_pad)
+        per_head = []
+        for hh in range(heads):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            q_h = qkv[tok, 0 * d:1 * d][:, sl]
+            k_h = qkv[tok, 1 * d:2 * d][:, sl]
+            v_h = qkv[tok, 2 * d:3 * d][:, sl]
+            # rows past n_valid are bounds-masking garbage (possibly NaN);
+            # their softmax weight is exactly 0 but 0*NaN = NaN in the PV dot
+            v_h = jnp.where(row1 < n_valid, v_h, 0)
+            s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(col2 < n_valid, s, -jnp.inf)   # mask padded keys
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(x_ref.dtype)
+            per_head.append(
+                jnp.dot(p, v_h, preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(per_head, axis=1))
+    o = jnp.concatenate(outs, axis=0).astype(x_ref.dtype)
 
     attn_out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32)
     h = x + attn_out + bproj_ref[0]                 # f32 residual
@@ -92,16 +104,24 @@ def _layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     # this inference path; exact-gelu users take the unfused graph
     m = jax.nn.gelu(m, approximate=True).astype(x_ref.dtype)
     m = jnp.dot(m, w2_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = (h + m + b2_ref[0]).astype(o_ref.dtype)
+    o_ref[:] = (h + m + b2_ref[0]).astype(o_ref.dtype).reshape(g, n_pad, d)
 
 
 def fits_vmem(dim: int, mlp_hidden: int, n_pad: int, heads: int,
-              bytes_per_el: int = 2, budget: int = 13 * 2 ** 20) -> bool:
+              bytes_per_el: int = 2, budget: int = 13 * 2 ** 20,
+              g: int = 1) -> bool:
+    """Conservative scoped-VMEM model for ``g`` images per program.
+
+    Calibrated against Mosaic's own stack estimate on v5e (g=4 at
+    N_pad=208/D=384 compiles at ~12 MB scoped; g=8 is rejected by the
+    compiler at 16.7 MB vs its 16 MB limit)."""
     weights = dim * (3 * dim + dim + 2 * mlp_hidden) * bytes_per_el
-    acts = (n_pad * dim * 4 * 3            # x, h, y in f32
-            + n_pad * 3 * dim * 4          # qkv accum
-            + heads * n_pad * n_pad * 4    # scores
-            + n_pad * mlp_hidden * 4)      # mlp accum
+    gn = g * n_pad
+    # Mosaic reuses dead buffers, so the live set per token is roughly one
+    # f32 working tensor (the wider of qkv accum / mlp accum) plus one f32
+    # residual lane; scores are per-image (the head loop is sequential).
+    acts = (gn * 4 * (max(3 * dim, mlp_hidden) + dim)
+            + n_pad * n_pad * 4)
     return weights + acts <= budget
 
 
@@ -146,8 +166,17 @@ def _fused_layer_impl(x, w, heads):
     if not fits_vmem(d, hidden, n_pad, heads):
         return _unfused_layer(x, w, heads)
 
+    # Largest image group per program that divides the batch and fits
+    # VMEM: stacking g images' tokens along the GEMM M-axis amortises the
+    # MXU pipeline-fill at M=n_pad (g=4 is ~11% end-to-end on ViT-S).
+    g = 1
+    for cand in (4, 2):
+        if b % cand == 0 and fits_vmem(d, hidden, n_pad, heads, g=cand):
+            g = cand
+            break
+
     dt = x.dtype
-    x_spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+    x_spec = pl.BlockSpec((g, n_pad, d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
     def const(shape):  # weight blocks: same block every program
@@ -166,10 +195,11 @@ def _fused_layer_impl(x, w, heads):
         w["fc2"]["kernel"].astype(dt), vec(w["fc2"]["bias"]),
     ]
     in_specs = [x_spec] + [const(tuple(a.shape)) for a in args[1:]]
-    kernel = functools.partial(_layer_kernel, heads=heads, n_valid=n)
+    kernel = functools.partial(_layer_kernel, heads=heads, n_valid=n,
+                               g=g, n_pad=n_pad)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, dt),
