@@ -20,8 +20,10 @@ import numpy as np
 
 from acmil_tpu.config import Config
 from acmil_tpu.data import BagLoader, build_hdf5_feat_dataset
-from acmil_tpu.engine import (create_train_state, evaluate, get_family,
-                              make_eval_step, make_train_step, train_one_epoch)
+from acmil_tpu.engine import (create_train_state, evaluate, evaluate_scanned,
+                              get_family, make_eval_step, make_scan_eval_step,
+                              make_scan_train_step, make_train_step,
+                              train_one_epoch, train_one_epoch_scanned)
 from acmil_tpu.engine.checkpoint import CheckpointManager, save_best_and_last
 from acmil_tpu.models import build_mil_model
 from acmil_tpu.utils import MetricLogger, MetricsWriter, set_seed
@@ -49,6 +51,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="multi-host pod: jax.distributed.initialize() then "
                         "a DCN x ICI (data, seq) mesh over all processes "
                         "(parallel/mesh.py::make_pod_mesh)")
+    p.add_argument("--scan_epoch", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="drive epochs with lax.scan over device-resident "
+                        "shape groups: one dispatch per group instead of "
+                        "one per bag (single device, bags must fit HBM)")
     p.add_argument("--resume", action="store_true",
                    help="resume from checkpoint-last in ckpt_dir (full "
                         "optimizer state; the reference saved but never "
@@ -154,6 +161,24 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     train_step = make_train_step(model, conf, fam)
     eval_step = make_eval_step(model, fam)
 
+    # lax.scan epochs: one dispatch per shape group instead of one per bag
+    # (per-bag dispatch dominates epoch time on relay-attached chips —
+    # BENCH_NOTES.md). Single-device only, and only when the train bags are
+    # device-resident; families with custom step structure (MHIM) fall back.
+    scan_train = scan_eval = None
+    if bool(getattr(conf, "scan_epoch", False)) and mesh is None and cache_train:
+        scan_train = make_scan_train_step(model, conf, fam)
+        if scan_train is not None:
+            scan_eval = make_scan_eval_step(model, fam)
+        else:
+            print(f"scan_epoch: family '{family}' has a custom train step; "
+                  "using the per-bag loop")
+
+    def run_eval(params, loader):
+        if scan_eval is not None:
+            return evaluate_scanned(params, scan_eval, loader, conf.n_class)
+        return evaluate(params, eval_step, loader, conf.n_class)
+
     state = init_teacher_student(state, conf)
 
     ckpt = CheckpointManager(conf.ckpt_dir)
@@ -161,8 +186,8 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     if bool(getattr(conf, "eval_only", False)):
         tag = "best" if ckpt.exists("best") else "last"
         state = ckpt.restore(tag, state)
-        val_m = evaluate(state.params, eval_step, val_loader, conf.n_class)
-        test_m = evaluate(state.params, eval_step, test_loader, conf.n_class)
+        val_m = run_eval(state.params, val_loader)
+        test_m = run_eval(state.params, test_loader)
         print(f"[eval-only, {tag}] val auc {val_m['auc']:.4f} "
               f"f1 {val_m['f1']:.4f} | test auc {test_m['auc']:.4f} "
               f"f1 {test_m['f1']:.4f}")
@@ -182,8 +207,12 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
     for epoch in range(start_epoch, conf.train_epoch):
         logger = MetricLogger()
-        state, stats = train_one_epoch(state, train_step, train_loader, rng,
-                                       epoch, logger)
+        if scan_train is not None:
+            state, stats = train_one_epoch_scanned(
+                state, scan_train, train_loader, rng, epoch, logger)
+        else:
+            state, stats = train_one_epoch(state, train_step, train_loader,
+                                           rng, epoch, logger)
         if not np.isfinite(stats.get("loss", 0.0)):
             # failure detection: surface divergence instead of burning the
             # remaining epochs (reference has no equivalent, SURVEY §5.3)
@@ -192,8 +221,8 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         print(f"Epoch [{epoch}] {logger}")
         writer.log({f"train/{k}": v for k, v in stats.items()}, commit=False)
 
-        val_m = evaluate(state.params, eval_step, val_loader, conf.n_class)
-        test_m = evaluate(state.params, eval_step, test_loader, conf.n_class)
+        val_m = run_eval(state.params, val_loader)
+        test_m = run_eval(state.params, test_loader)
         print(f"  val  auc {val_m['auc']:.4f} acc {val_m['acc']:.4f} "
               f"f1 {val_m['f1']:.4f} loss {val_m['loss']:.4f}")
         print(f"  test auc {test_m['auc']:.4f} acc {test_m['acc']:.4f} "

@@ -81,6 +81,8 @@ class Config:
     max_patches: int = 65536        # hard cap on bag length
     min_bucket: int = 256           # smallest pad bucket
     feat_dtype: str = "float32"     # on-device compute dtype for features
+    scan_epoch: bool = False        # lax.scan epochs: one dispatch per shape
+                                    # group (single-device, needs bags in HBM)
 
     # --- parallelism (TPU-specific) ---
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"data": 8}

@@ -62,6 +62,7 @@ class BagLoader:
         # the within-batch composition is frozen after the first epoch.
         self.cache_device = cache_device
         self._device_batches = None
+        self._device_groups = None
         self._sharding = None
         if mesh is not None:
             self._sharding = jax.sharding.NamedSharding(
@@ -111,6 +112,32 @@ class BagLoader:
         if self._sharding is not None:
             bag = jax.device_put(bag, self._sharding)
         return bag
+
+    # -- stacked shape groups (lax.scan epochs) ------------------------------
+    def device_groups(self) -> List[Bag]:
+        """Same-shape batches stacked along a new leading axis, resident on
+        device — feeds the scan epoch drivers
+        (:func:`acmil_tpu.engine.train.train_one_epoch_scanned` /
+        :func:`evaluate_scanned`), which replace one dispatch per bag with
+        one per shape group. Built once; epochs re-visit groups (and bags
+        within a group) in fresh random order when ``shuffle`` is set."""
+        if self._sharding is not None:
+            raise NotImplementedError(
+                "scan epochs are single-device; use the per-step loop "
+                "with a mesh")
+        if self._device_groups is None:
+            import jax.numpy as jnp
+
+            by_shape: dict = {}
+            for g in self._plan():
+                b = self._make_batch(g)
+                by_shape.setdefault(
+                    (b.feats.shape, str(b.feats.dtype)), []).append(b)
+            self._device_groups = [
+                jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *bs)
+                for bs in by_shape.values()
+            ]
+        return self._device_groups
 
     # -- iteration ----------------------------------------------------------
     def __iter__(self) -> Iterator[Bag]:

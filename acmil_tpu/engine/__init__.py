@@ -2,9 +2,13 @@ from acmil_tpu.engine.train import (
     TrainState,
     create_train_state,
     make_train_step,
+    make_scan_train_step,
     make_eval_step,
+    make_scan_eval_step,
     train_one_epoch,
+    train_one_epoch_scanned,
     evaluate,
+    evaluate_scanned,
     is_better,
 )
 from acmil_tpu.engine.families import FAMILIES, Family, get_family, register_family
@@ -14,9 +18,13 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_scan_train_step",
     "make_eval_step",
+    "make_scan_eval_step",
     "train_one_epoch",
+    "train_one_epoch_scanned",
     "evaluate",
+    "evaluate_scanned",
     "is_better",
     "FAMILIES",
     "Family",

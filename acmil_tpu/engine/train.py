@@ -80,16 +80,14 @@ def _resolve_family(family):
     return get_family(family) if isinstance(family, str) else family
 
 
-def make_train_step(model, conf, family="acmil") -> Callable:
-    fam = _resolve_family(family)
-    if hasattr(fam, "make_train_step"):
-        return fam.make_train_step(model, conf)
-    conf_d = fam.conf_dict(conf)
-    use_sam = bool(getattr(conf, "use_sam", False))
-    sam_rho = float(getattr(conf, "sam_rho", 0.05))
+def _make_step_body(fam, conf_d, use_sam: bool, sam_rho: float) -> Callable:
+    """The (state, bag, rng) -> (state, aux) gradient step, un-jitted.
 
-    @jax.jit
-    def step(state: TrainState, bag: Bag, rng: jax.Array):
+    Shared by the per-bag jit step and the lax.scan epoch driver; the
+    per-step rng is ``fold_in(rng, state.step)`` so both produce
+    identical updates for the same bag order."""
+
+    def body(state: TrainState, bag: Bag, rng: jax.Array):
         valid = bag.mask.any(axis=1)
         s_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         rngs = {"stkim": s_rng, "dropout": d_rng}
@@ -113,7 +111,54 @@ def make_train_step(model, conf, family="acmil") -> Callable:
         aux["grad_norm"] = jnp.linalg.norm(flat_g)
         return new_state, aux
 
-    return step
+    return body
+
+
+def make_train_step(model, conf, family="acmil") -> Callable:
+    fam = _resolve_family(family)
+    if hasattr(fam, "make_train_step"):
+        return fam.make_train_step(model, conf)
+    body = _make_step_body(fam, fam.conf_dict(conf),
+                           bool(getattr(conf, "use_sam", False)),
+                           float(getattr(conf, "sam_rho", 0.05)))
+    return jax.jit(body)
+
+
+def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
+    """Whole same-shape groups of bags in ONE dispatch via ``lax.scan``.
+
+    Per-bag dispatch through a relay-attached chip costs ~3 ms — more
+    than the sub-ms step itself — so scanning a device-resident group
+    collapses an epoch from one dispatch per bag to one per shape bucket
+    (BENCH_NOTES.md). Updates are bit-identical to the per-step loop for
+    the same bag order because the per-step rng is derived from
+    ``state.step``. Returns None for families with a custom step
+    structure (MHIM's EMA teacher) — callers fall back to the loop.
+
+    The returned callable is ``(state, stacked: Bag, perm, rng)`` where
+    ``stacked`` has a leading group axis on every leaf and ``perm`` is
+    the within-group visit order.
+    """
+    fam = _resolve_family(family)
+    if hasattr(fam, "make_train_step"):
+        return None
+    body = _make_step_body(fam, fam.conf_dict(conf),
+                           bool(getattr(conf, "use_sam", False)),
+                           float(getattr(conf, "sam_rho", 0.05)))
+
+    @jax.jit
+    def scan_steps(state: TrainState, stacked: Bag, perm: jax.Array,
+                   rng: jax.Array):
+        def scan_body(st, i):
+            bag = jax.tree_util.tree_map(
+                lambda leaf: jnp.take(leaf, i, axis=0), stacked)
+            return body(st, bag, rng)
+
+        state2, auxes = jax.lax.scan(scan_body, state, perm)
+        return state2, jax.tree_util.tree_map(
+            lambda a: jnp.sum(a, axis=0), auxes)
+
+    return scan_steps
 
 
 def make_eval_step(model, family="default") -> Callable:
@@ -125,6 +170,22 @@ def make_eval_step(model, family="default") -> Callable:
         return fam.probs(outputs)
 
     return step
+
+
+def make_scan_eval_step(model, family="default") -> Callable:
+    """Eval counterpart of :func:`make_scan_train_step`: probabilities for
+    a whole stacked shape group in one dispatch, ``[k, B, C]``."""
+    fam = _resolve_family(family)
+
+    @jax.jit
+    def scan_eval(params, stacked: Bag):
+        def body(_, bag):
+            return None, fam.probs(fam.eval_outputs(model.apply, params, bag))
+
+        _, probs = jax.lax.scan(body, None, stacked)
+        return probs
+
+    return scan_eval
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +214,46 @@ def train_one_epoch(state: TrainState, train_step, loader, rng: jax.Array,
     return state, stats
 
 
+def train_one_epoch_scanned(state: TrainState, scan_step, loader,
+                            rng: jax.Array, epoch: int, logger=None,
+                            ) -> Tuple[TrainState, Dict[str, float]]:
+    """Scan-based epoch: one dispatch per shape group (see
+    :func:`make_scan_train_step`). Groups are visited in a fresh random
+    order each epoch and bags shuffled within their group, so the visit
+    order is a uniform permutation *conditioned on* bucket grouping —
+    slightly coarser than the loop driver's global shuffle (documented in
+    BENCH_NOTES.md; enable via ``scan_epoch: true``)."""
+    groups = loader.device_groups()
+    order = (loader.rng.permutation(len(groups)) if loader.shuffle
+             else range(len(groups)))
+    totals: Dict[str, jnp.ndarray] = {}
+    n = 0
+    for gi in order:
+        stacked = groups[gi]
+        k = int(stacked.label.shape[0])
+        perm = (loader.rng.permutation(k) if loader.shuffle
+                else np.arange(k))
+        state, sums = scan_step(state, stacked, jnp.asarray(perm), rng)
+        n += k
+        for key, v in sums.items():
+            totals[key] = totals.get(key, 0.0) + v
+    stats = {k: float(v) / max(n, 1) for k, v in totals.items()}
+    if logger is not None:
+        logger.update(**stats)
+    return state, stats
+
+
+def _finalize_metrics(probs_h, valid_h, labels_h, n_class: int) -> Dict[str, float]:
+    probs_all = [p[v] for p, v in zip(probs_h, valid_h)]
+    labels_all = [l[v] for l, v in zip(labels_h, valid_h)]
+    probs = np.concatenate(probs_all) if probs_all else np.zeros((0, n_class))
+    labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), np.int64)
+    m = classification_metrics(probs, labels)
+    eps = 1e-12
+    m["loss"] = float(-np.mean(np.log(probs[np.arange(len(labels)), labels] + eps))) if len(labels) else float("nan")
+    return m
+
+
 def evaluate(params, eval_step, loader, n_class: int) -> Dict[str, float]:
     """Returns acc/auc/f1/loss over a split (`Step3_ACMIL:242-287`)."""
     probs_dev, valid_dev, labels_dev = [], [], []
@@ -162,14 +263,21 @@ def evaluate(params, eval_step, loader, n_class: int) -> Dict[str, float]:
         labels_dev.append(bag.label)
     # one bulk host transfer at the end instead of a sync per batch
     probs_h, valid_h, labels_h = jax.device_get((probs_dev, valid_dev, labels_dev))
-    probs_all = [p[v] for p, v in zip(probs_h, valid_h)]
-    labels_all = [l[v] for l, v in zip(labels_h, valid_h)]
-    probs = np.concatenate(probs_all) if probs_all else np.zeros((0, n_class))
-    labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), np.int64)
-    m = classification_metrics(probs, labels)
-    eps = 1e-12
-    m["loss"] = float(-np.mean(np.log(probs[np.arange(len(labels)), labels] + eps))) if len(labels) else float("nan")
-    return m
+    return _finalize_metrics(probs_h, valid_h, labels_h, n_class)
+
+
+def evaluate_scanned(params, scan_eval_step, loader, n_class: int) -> Dict[str, float]:
+    """:func:`evaluate` over stacked shape groups: one dispatch per group
+    instead of one per bag (the dispatch itself dominates eval time on
+    relay-attached chips)."""
+    probs_dev, valid_dev, labels_dev = [], [], []
+    for stacked in loader.device_groups():
+        probs = scan_eval_step(params, stacked)        # [k, B, C]
+        probs_dev.append(probs.reshape(-1, probs.shape[-1]))
+        valid_dev.append(stacked.mask.any(axis=2).reshape(-1))
+        labels_dev.append(stacked.label.reshape(-1))
+    probs_h, valid_h, labels_h = jax.device_get((probs_dev, valid_dev, labels_dev))
+    return _finalize_metrics(probs_h, valid_h, labels_h, n_class)
 
 
 def is_better(metrics: Dict[str, float], best: Dict[str, float]) -> bool:

@@ -1,0 +1,128 @@
+"""lax.scan epoch drivers vs the per-bag loop.
+
+The scan path (engine/train.py::make_scan_train_step) must produce the
+SAME parameter updates as the jit-per-bag loop for the same bag order —
+the per-step rng is fold_in(rng, state.step) in both — and
+evaluate_scanned must reproduce evaluate()'s metrics exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acmil_tpu.data.loader import BagLoader
+from acmil_tpu.engine.train import (create_train_state, evaluate,
+                                    evaluate_scanned, make_eval_step,
+                                    make_scan_eval_step, make_scan_train_step,
+                                    make_train_step, train_one_epoch_scanned)
+from acmil_tpu.models import build_mil_model
+
+
+class _ListSource:
+    """Minimal in-RAM bag source (same protocol as FeatureBagSource)."""
+
+    def __init__(self, slides):
+        self.items = [
+            {"input": d["feat"], "coords": d["coords"], "label": d["label"]}
+            for d in slides.values()
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def lengths(self):
+        return [len(it["input"]) for it in self.items]
+
+
+def _setup(tiny_conf, synthetic_slides, arch="ga"):
+    conf = tiny_conf
+    conf.arch = arch
+    src = _ListSource(synthetic_slides)
+    model, family = build_mil_model(conf)
+    loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    example = next(iter(loader))
+    state = create_train_state(model, conf, jax.random.PRNGKey(0), example,
+                               steps_per_epoch=len(loader), family=family)
+    return conf, src, model, family, state
+
+
+def test_scan_train_matches_loop(tiny_conf, synthetic_slides):
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides)
+    rng = jax.random.PRNGKey(7)
+
+    # loop path: visit device_groups in order, bags in stacked order
+    loop_loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    scan_loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    groups = scan_loader.device_groups()
+
+    step = make_train_step(model, conf, family)
+    state_loop = state
+    for stacked in groups:
+        k = stacked.label.shape[0]
+        for i in range(k):
+            bag = jax.tree_util.tree_map(lambda l: l[i], stacked)
+            state_loop, aux_loop = step(state_loop, bag, rng)
+
+    scan_step = make_scan_train_step(model, conf, family)
+    assert scan_step is not None
+    state_scan = state
+    for stacked in groups:
+        k = int(stacked.label.shape[0])
+        state_scan, sums = scan_step(state_scan, stacked,
+                                     jnp.arange(k), rng)
+
+    assert int(state_scan.step) == int(state_loop.step)
+    flat_l = jax.flatten_util.ravel_pytree(state_loop.params)[0]
+    flat_s = jax.flatten_util.ravel_pytree(state_scan.params)[0]
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_l),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(sums["loss"]))
+
+
+def test_scan_epoch_driver_trains(tiny_conf, synthetic_slides):
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides)
+    loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0,
+                       shuffle=True, cache_device=True)
+    scan_step = make_scan_train_step(model, conf, family)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(3):
+        state, stats = train_one_epoch_scanned(state, scan_step, loader,
+                                               rng, epoch)
+        losses.append(stats["loss"])
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3 * len(src.items)
+
+
+def test_evaluate_scanned_matches_evaluate(tiny_conf, synthetic_slides):
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides)
+    loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    eval_step = make_eval_step(model, family)
+    m_loop = evaluate(state.params, eval_step, loader, conf.n_class)
+
+    scan_loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    scan_eval = make_scan_eval_step(model, family)
+    m_scan = evaluate_scanned(state.params, scan_eval, scan_loader,
+                              conf.n_class)
+    for k in ("acc", "auc", "f1", "loss"):
+        np.testing.assert_allclose(m_scan[k], m_loop[k], rtol=1e-5,
+                                   err_msg=k)
+
+
+def test_scan_step_none_for_custom_families(tiny_conf):
+    conf = tiny_conf
+    conf.arch = "mhim"
+    model, family = build_mil_model(conf)
+    assert make_scan_train_step(model, conf, family) is None
+
+
+def test_device_groups_rejects_mesh(tiny_conf, synthetic_slides):
+    src = _ListSource(synthetic_slides)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    loader = BagLoader(src, batch_size=2, min_bucket=64, mesh=mesh)
+    with pytest.raises(NotImplementedError):
+        loader.device_groups()
