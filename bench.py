@@ -58,13 +58,22 @@ def bench_mil_latency():
     mask = jnp.arange(n_pad) < 14000
     params = model.init({"params": rng}, feats[None], mask[None])["params"]
 
+    # Chain INNER iterations inside one jit so the number measures the
+    # device, not the per-dispatch overhead of the relay tunnel (~0.3 ms
+    # per jit call here, vs ~50 us on a directly-attached TPU VM — it
+    # swamps a sub-0.1 ms kernel and isn't a property of the framework).
+    inner = 8
+
     @jax.jit
     def step(f):
-        sub, slide, attn = acmil_ga_infer(params, f, mask, chunk=2048)
-        return f * (1.0 + 0.0 * slide[0]), slide
+        slide = None
+        for _ in range(inner):
+            sub, slide, attn = acmil_ga_infer(params, f, mask, chunk=2048)
+            f = f * (1.0 + 0.0 * slide[0])   # hard data dependency
+        return f, slide
 
-    sec = _chain_time(step, feats, lambda s: float(s[0]), k0=32, k1=256)
-    ms = max(sec * 1e3, 1e-6)
+    sec = _chain_time(step, feats, lambda s: float(s[0]), k0=8, k1=64)
+    ms = max(sec * 1e3 / inner, 1e-6)
     baseline_ms = 5.0
     print(json.dumps({
         "metric": "acmil_ga_fused_inference_latency_16k_patches",
