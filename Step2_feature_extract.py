@@ -115,6 +115,9 @@ def main():
     p.add_argument("--roi_dir", default=None,
                    help="ImageFolder-style ROI crops: extract per-class "
                         "centroid features instead of slide bags")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard extraction batches over N devices "
+                        "(shard_map over the batch axis; 0 = single chip)")
     args = p.parse_args()
 
     conf = (Config.from_yaml(args.config, vars(args)) if args.config
@@ -156,18 +159,27 @@ def main():
         df = pd.read_csv(args.label_csv)
         labels = dict(zip(df["slide_id"].astype(str), df["label"]))
 
-    from acmil_tpu.models.encoders.build import encoder_feature_fn
-
-    embed = encoder_feature_fn(model, variables, spec)  # shared jit
-    os.makedirs(args.output_dir, exist_ok=True)
-    out_path = os.path.join(args.output_dir,
-                            f"patch_feats_pretrain_{conf.pretrain}.h5")
     coord_files = sorted(f for f in os.listdir(args.coords_dir)
                          if f.endswith(".h5"))
     if not coord_files:
+        # check before building the embed closure: encoder_feature_fn
+        # device-puts the full encoder param tree (seconds through the
+        # relay link, GBs for UNI/GigaPath) — pointless on a typo'd dir
         raise SystemExit(
             f"no coord .h5 files in {args.coords_dir!r} — Step1 writes "
             "them under <save_dir>/patches/")
+
+    from acmil_tpu.models.encoders.build import encoder_feature_fn
+
+    mesh = None
+    if args.mesh_data:
+        from acmil_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=int(args.mesh_data), seq=1)
+    embed = encoder_feature_fn(model, variables, spec, mesh=mesh)  # shared jit
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir,
+                            f"patch_feats_pretrain_{conf.pretrain}.h5")
     with h5py.File(out_path, "a") as fout:
         for cf in coord_files:
             name = os.path.splitext(cf)[0]

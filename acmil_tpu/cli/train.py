@@ -137,7 +137,13 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     # single-bag batches in a fresh random order IS shuffled training;
     # with B>1 batch composition would freeze, so it stays off unless
     # forced via cache_train.
-    feat_bytes = sum(train_src.lengths()) * conf.D_feat * 2
+    # size by PADDED bucket lengths — cached bags live on device at their
+    # bucketed shape (up to 2x the raw length), so raw bytes under-count
+    from acmil_tpu.data.bags import bucket_length
+
+    feat_bytes = sum(
+        bucket_length(n, conf.min_bucket, conf.max_patches)
+        for n in train_src.lengths()) * conf.D_feat * 2
     cache_train = bool(conf.extra.get(
         "cache_train", conf.B == 1 and feat_bytes < 6 * 2 ** 30))
     train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
@@ -158,21 +164,33 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
         state = shard_params(state, mesh)
 
+    if mesh is not None and conf.extra.get("fused_train", False):
+        # pallas_calls can't consume sharded operands; the jnp graph
+        # partitions cleanly instead
+        print("fused_train: disabled for mesh runs (unpartitionable kernel)")
+        conf.extra["fused_train"] = False
     train_step = make_train_step(model, conf, fam)
-    eval_step = make_eval_step(model, fam)
+    eval_step = make_eval_step(model, fam, fused=mesh is None)
 
     # lax.scan epochs: one dispatch per shape group instead of one per bag
     # (per-bag dispatch dominates epoch time on relay-attached chips —
     # BENCH_NOTES.md). Single-device only, and only when the train bags are
     # device-resident; families with custom step structure (MHIM) fall back.
     scan_train = scan_eval = None
-    if bool(getattr(conf, "scan_epoch", False)) and mesh is None and cache_train:
-        scan_train = make_scan_train_step(model, conf, fam)
-        if scan_train is not None:
-            scan_eval = make_scan_eval_step(model, fam)
-        else:
-            print(f"scan_epoch: family '{family}' has a custom train step; "
+    if bool(getattr(conf, "scan_epoch", False)):
+        if mesh is not None:
+            print("scan_epoch: mesh run; using the per-bag loop")
+        elif not cache_train:
+            print("scan_epoch: train bags are not device-cached (B>1, "
+                  "cache_train: false, or features exceed the HBM gate); "
                   "using the per-bag loop")
+        else:
+            scan_train = make_scan_train_step(model, conf, fam)
+            if scan_train is not None:
+                scan_eval = make_scan_eval_step(model, fam)
+            else:
+                print(f"scan_epoch: family '{family}' has a custom train "
+                      "step; using the per-bag loop")
 
     def run_eval(params, loader):
         if scan_eval is not None:

@@ -87,10 +87,12 @@ class ACMILFamily(Family):
             return acmil_ga_apply_batched(params, bag.feats, bag.mask)
         return super().train_outputs(apply_fn, params, bag, rngs, conf_d)
 
-    def eval_outputs(self, apply_fn, params, bag):
+    def eval_outputs(self, apply_fn, params, bag, fused: bool = True):
         # eval is always deterministic (no STKIM/dropout), so the fused
-        # kernel is valid for every GA-structured param tree
-        if "AttentionGated_0" in params:
+        # kernel is valid for every GA-structured param tree. ``fused=
+        # False`` keeps the plain model.apply graph — required for mesh
+        # runs, where a pallas_call cannot consume sharded operands.
+        if fused and "AttentionGated_0" in params:
             from acmil_tpu.models.fast import acmil_ga_apply_batched
 
             return acmil_ga_apply_batched(params, bag.feats, bag.mask)

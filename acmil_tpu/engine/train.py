@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
+import jax.flatten_util  # not re-exported by the jax package root
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -161,26 +162,40 @@ def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
     return scan_steps
 
 
-def make_eval_step(model, family="default") -> Callable:
+def _eval_outputs_fn(fam, fused: bool) -> Callable:
+    """Bind the family's eval_outputs, passing ``fused`` only to families
+    that take it (ACMIL's GA reroute; pallas_calls can't consume sharded
+    operands, so mesh runs pass fused=False)."""
+    import inspect
+
+    if "fused" in inspect.signature(fam.eval_outputs).parameters:
+        return lambda apply_fn, params, bag: fam.eval_outputs(
+            apply_fn, params, bag, fused=fused)
+    return fam.eval_outputs
+
+
+def make_eval_step(model, family="default", fused: bool = True) -> Callable:
     fam = _resolve_family(family)
+    eval_outputs = _eval_outputs_fn(fam, fused)
 
     @jax.jit
     def step(params, bag: Bag):
-        outputs = fam.eval_outputs(model.apply, params, bag)
+        outputs = eval_outputs(model.apply, params, bag)
         return fam.probs(outputs)
 
     return step
 
 
-def make_scan_eval_step(model, family="default") -> Callable:
+def make_scan_eval_step(model, family="default", fused: bool = True) -> Callable:
     """Eval counterpart of :func:`make_scan_train_step`: probabilities for
     a whole stacked shape group in one dispatch, ``[k, B, C]``."""
     fam = _resolve_family(family)
+    eval_outputs = _eval_outputs_fn(fam, fused)
 
     @jax.jit
     def scan_eval(params, stacked: Bag):
         def body(_, bag):
-            return None, fam.probs(fam.eval_outputs(model.apply, params, bag))
+            return None, fam.probs(eval_outputs(model.apply, params, bag))
 
         _, probs = jax.lax.scan(body, None, stacked)
         return probs

@@ -132,13 +132,19 @@ def fused_gated_attn_pool_batched(
     k_out = _k_out(k)
     k_pad = 128  # one lane tile for the branch axis
     chunk = min(chunk, n)
-    assert n % chunk == 0, (n, chunk)
+    # bags are normally bucketed to multiples of chunk, but arbitrary N
+    # (e.g. max_patches-clamped bags) pads up with mask=False rows, which
+    # the kernel already treats as inert
+    n_full = (n + chunk - 1) // chunk * chunk
+    if n_full != n:
+        feats = jnp.pad(feats, ((0, 0), (0, n_full - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_full - n)))
 
     w_p = jnp.zeros((a_dim, k_pad), w.dtype).at[:, :k].set(w)
     bw_p = jnp.full((1, k_pad), 0.0, jnp.float32).at[0, :k].set(bw)
     mask2 = mask.astype(jnp.int32)[..., None]
 
-    grid = (b, n // chunk)
+    grid = (b, n_full // chunk)
     const = lambda bi, i: (0, 0)
     bag, logits, m_out, s_out = pl.pallas_call(
         _kernel,
@@ -168,7 +174,7 @@ def fused_gated_attn_pool_batched(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k_pad, l), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_out, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_out, n_full), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
         ],
@@ -180,8 +186,9 @@ def fused_gated_attn_pool_batched(
         interpret=interpret,
     )(feats, mask2, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1), w_p, bw_p)
     if return_stats:
-        return bag[:, :k], logits[:, :k], m_out[:, 0, :k], s_out[:, 0, :k]
-    return bag[:, :k], logits[:, :k]
+        return (bag[:, :k], logits[:, :k, :n],
+                m_out[:, 0, :k], s_out[:, 0, :k])
+    return bag[:, :k], logits[:, :k, :n]
 
 
 def fused_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw,
@@ -316,17 +323,24 @@ def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
     pad_k = lambda t: jnp.zeros((b, 1, k_pad), jnp.float32).at[:, 0, :k].set(t)
     lse_p, c_p = pad_k(lse), pad_k(c)
     dbag_p = jnp.zeros((b, k_pad, l), jnp.float32).at[:, :k].set(d_bag)
+    # arbitrary N pads up to a chunk multiple with mask=False rows
+    # (inert: zero p, zero d_log, zero dx) — same policy as the forward
+    n_full = (n + chunk - 1) // chunk * chunk
+    if n_full != n:
+        feats = jnp.pad(feats, ((0, 0), (0, n_full - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_full - n)))
+        d_logits = jnp.pad(d_logits, ((0, 0), (0, 0), (0, n_full - n)))
     # token-major cotangent: pad + transpose once in XLA so the kernel
     # reads [C, k_pad] blocks directly (an in-kernel [k_pad, C] transpose
     # cost more than the whole backward saved)
-    dlo_p = jnp.zeros((b, n, k_pad), jnp.float32).at[:, :, :k].set(
+    dlo_p = jnp.zeros((b, n_full, k_pad), jnp.float32).at[:, :, :k].set(
         d_logits.transpose(0, 2, 1))
     w_p = jnp.zeros((a_dim, k_pad), w.dtype).at[:, :k].set(w)
     bw_p = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(bw)
     mask2 = mask.astype(jnp.int32)[..., None]
     feats32 = feats.astype(jnp.float32)
 
-    grid = (b, n // chunk)
+    grid = (b, n_full // chunk)
     const = lambda shape: pl.BlockSpec(
         shape, lambda bi, i, _nd=len(shape): (0,) * _nd,
         memory_space=pltpu.VMEM)
@@ -359,7 +373,7 @@ def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
             const((a_dim, k_pad)), const((1, k_pad)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, df), feats.dtype),
+            jax.ShapeDtypeStruct((b, n_full, df), feats.dtype),
             jax.ShapeDtypeStruct((df, l), jnp.float32),
             jax.ShapeDtypeStruct((l, a_dim), jnp.float32),
             jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
@@ -382,7 +396,7 @@ def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
       dbag_p, dlo_p, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1),
       w_p, bw_p)
     d_feats, dw1, dv, dbv, du, dbu, dw, dbw = outs
-    return (d_feats, dw1, dv, dbv.reshape(-1), du, dbu.reshape(-1),
+    return (d_feats[:, :n], dw1, dv, dbv.reshape(-1), du, dbu.reshape(-1),
             dw[:, :k], dbw[0, :k])
 
 

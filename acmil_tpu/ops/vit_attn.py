@@ -32,9 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from acmil_tpu.ops.tile import round_up as _round_up
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):

@@ -30,9 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from acmil_tpu.ops.tile import round_up as _round_up
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _packed_kernel(qkv_ref, o_ref, *, heads: int, n_valid: int,

@@ -30,11 +30,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from acmil_tpu.ops.tile import round_up as _round_up
+
 LN_EPS = 1e-6
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _ln_f32(h, scale, bias):

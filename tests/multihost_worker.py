@@ -27,6 +27,7 @@ def main():
                      process_id=pid)
     assert jax.process_count() == n_proc, jax.process_count()
 
+    import jax.flatten_util  # not re-exported by the jax package root
     import jax.numpy as jnp
     import numpy as np
 

@@ -275,3 +275,71 @@ def test_sharded_pool_matches_single_device():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_non_chunk_multiple_n():
+    """N that is not a multiple of chunk (e.g. a max_patches-clamped bag,
+    or a non-power-of-two bucket) pads internally with inert rows —
+    regression for the eval crash at n=1536, chunk=1024."""
+    rs = np.random.RandomState(3)
+    n, df = 1536, 64
+    feats = jnp.asarray(rs.randn(n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(n) < 0.8)
+    ws = _weights(rs, df=df)
+    bag, logits = fused_gated_attn_pool(feats, mask, *ws, chunk=1024,
+                                        interpret=True)
+    assert logits.shape == (5, n)
+    bag_r, _ = gated_attn_pool_reference(feats, mask, *ws)
+    np.testing.assert_allclose(np.asarray(bag), np.asarray(bag_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grad_non_chunk_multiple_n():
+    from acmil_tpu.ops.attn_pool import (_reference_batched,
+                                         gated_attn_pool_grad)
+
+    rs = np.random.RandomState(4)
+    n, df = 1536, 64
+    feats = jnp.asarray(rs.randn(1, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(1, n) < 0.8)
+    ws = _weights(rs, df=df)
+
+    def loss_fused(feats, *ws):
+        bag, logits = gated_attn_pool_grad(feats, mask, *ws, 1024)
+        return jnp.sum(bag ** 2) + jnp.sum(jnp.where(mask[:, None], logits,
+                                                     0.0) ** 2) * 1e-3
+
+    def loss_ref(feats, *ws):
+        bag, logits = _reference_batched(feats, mask, *ws)
+        return jnp.sum(bag ** 2) + jnp.sum(jnp.where(mask[:, None], logits,
+                                                     0.0) ** 2) * 1e-3
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(feats, *ws)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(feats, *ws)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_eval_outputs_unfused_gate(tiny_conf):
+    """fused=False keeps GA eval on model.apply (the mesh-safe path)."""
+    import jax
+
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.train import make_eval_step
+    from acmil_tpu.models import build_mil_model
+
+    conf = tiny_conf
+    conf.arch = "ga"
+    model, family = build_mil_model(conf)
+    rs = np.random.RandomState(0)
+    bag = Bag(feats=jnp.asarray(rs.randn(1, 96, conf.D_feat), jnp.float32),
+              mask=jnp.asarray(rs.rand(1, 96) < 0.9),
+              coords=jnp.zeros((1, 96, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        bag.feats, bag.mask)["params"]
+    p_fused = make_eval_step(model, family, fused=True)(params, bag)
+    p_plain = make_eval_step(model, family, fused=False)(params, bag)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_plain),
+                               rtol=1e-4, atol=1e-5)

@@ -63,6 +63,7 @@ def test_two_process_distributed_train_math():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    import jax.flatten_util  # not re-exported by the jax package root
     import jax.numpy as jnp
 
     from acmil_tpu.config import Config

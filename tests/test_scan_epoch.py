@@ -8,6 +8,7 @@ evaluate_scanned must reproduce evaluate()'s metrics exactly.
 
 import numpy as np
 import jax
+import jax.flatten_util  # not re-exported by the jax package root
 import jax.numpy as jnp
 import pytest
 
