@@ -186,8 +186,36 @@ def _device_put_arrays(tree):
         else jax.device_put(a), tree)
 
 
+def _shard_batch(run, mesh, data_axis: str = "data"):
+    """Data-parallel wrapper for an (params, images) -> feats step.
+
+    pjit cannot partition a ``pallas_call`` by sharding propagation, so
+    multi-chip extraction shard_maps the whole per-batch computation over
+    the batch axis (embarrassingly parallel — no collectives; SURVEY §7
+    step 5). The batch is padded up to a multiple of the mesh size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[data_axis]
+    sharded = jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
+        check_rep=False))
+
+    def wrapped(params, images):
+        b = images.shape[0]
+        b_full = (b + n_dev - 1) // n_dev * n_dev
+        if b_full != b:
+            images = jnp.concatenate(
+                [images, jnp.zeros((b_full - b,) + images.shape[1:],
+                                   images.dtype)])
+        return sharded(params, images)[:b]
+
+    return wrapped
+
+
 def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
-                       out_dtype=jnp.float16):
+                       out_dtype=jnp.float16, mesh=None):
     """Feature-extraction closure for the Step2 engine: uint8 image batch
     -> fp16 features.
 
@@ -201,8 +229,11 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
     closing over them would embed ~100 MB of constants in the HLO, and
     every fresh closure would re-trace/re-compile a constant-laden
     program (25s+ through a remote-compile relay, BENCH_NOTES.md).
+
+    With ``mesh``, the whole step is shard_mapped over the mesh's 'data'
+    axis for pod-scale extraction (the Pallas path cannot be partitioned
+    by pjit sharding propagation).
     """
-    import functools
 
     enc = model.encoder
     if (fast and isinstance(enc, ViT) and enc.act == "gelu"
@@ -218,12 +249,14 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
             enc_params = _device_put_arrays(
                 variables["params"]["encoder"])
 
-            @functools.partial(jax.jit, static_argnums=())
             def run(params, images_u8):
                 x = preprocess(images_u8, spec, dtype=enc.dtype)
                 return vit_encode(params, x, patch=enc.patch,
                                   depth=enc.depth, heads=enc.heads,
                                   dtype=enc.dtype).astype(out_dtype)
+
+            run = (_shard_batch(run, mesh) if mesh is not None
+                   else jax.jit(run))
 
             def feat_fn(images_u8):
                 return run(enc_params, jnp.asarray(images_u8))
@@ -233,11 +266,13 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
     dev_vars = _device_put_arrays(variables)
     dtype = getattr(enc, "dtype", jnp.float32)
 
-    @jax.jit
     def run_apply(vs, images_u8):
         x = preprocess(images_u8, spec, dtype=dtype)
         _, feat = model.apply(vs, x, return_feature=True)
         return feat.astype(out_dtype)
+
+    run_apply = (_shard_batch(run_apply, mesh) if mesh is not None
+                 else jax.jit(run_apply))
 
     def feat_fn(images_u8):
         return run_apply(dev_vars, jnp.asarray(images_u8))

@@ -380,3 +380,32 @@ def test_every_reference_encoder_builds_and_extracts(pretrain, backbone, want_di
     logits, feat = out
     assert feat.shape == (1, spec.embed_dim)
     assert logits.shape == (1, 2)
+
+
+def test_encoder_feature_fn_mesh_matches_single():
+    """Data-sharded extraction (shard_map over the batch axis — the fused
+    path is a pallas_call that pjit cannot partition) must equal the
+    single-device path, including a ragged batch that needs padding."""
+    import jax
+    import numpy as np
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.models.encoders.build import build_encoder, encoder_feature_fn
+    from acmil_tpu.parallel import make_mesh
+
+    conf = Config(pretrain="medical_ssl", backbone="ViT-S/16", n_class=2)
+    model, spec, _ = build_encoder(conf)
+    import jax.numpy as jnp
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3), jnp.bfloat16))
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 256, size=(6, 224, 224, 3)).astype(np.uint8)
+
+    mesh = make_mesh(data=4, seq=1)
+    f_single = np.asarray(
+        encoder_feature_fn(model, variables, spec)(imgs), np.float32)
+    f_mesh = np.asarray(
+        encoder_feature_fn(model, variables, spec, mesh=mesh)(imgs),
+        np.float32)
+    assert f_mesh.shape == f_single.shape
+    np.testing.assert_allclose(f_mesh, f_single, rtol=2e-2, atol=2e-2)
