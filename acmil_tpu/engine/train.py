@@ -134,18 +134,23 @@ def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
     (BENCH_NOTES.md). Updates are bit-identical to the per-step loop for
     the same bag order because the per-step rng is derived from
     ``state.step``. Returns None for families with a custom step
-    structure (MHIM's EMA teacher) — callers fall back to the loop.
+    structure that exposes no scannable body — callers fall back to the
+    loop. Families with a custom step (MHIM's EMA teacher) participate by
+    providing ``make_step_body`` (the un-jitted step).
 
     The returned callable is ``(state, stacked: Bag, perm, rng)`` where
     ``stacked`` has a leading group axis on every leaf and ``perm`` is
     the within-group visit order.
     """
     fam = _resolve_family(family)
-    if hasattr(fam, "make_train_step"):
+    if hasattr(fam, "make_step_body"):
+        body = fam.make_step_body(model, conf)
+    elif hasattr(fam, "make_train_step"):
         return None
-    body = _make_step_body(fam, fam.conf_dict(conf),
-                           bool(getattr(conf, "use_sam", False)),
-                           float(getattr(conf, "sam_rho", 0.05)))
+    else:
+        body = _make_step_body(fam, fam.conf_dict(conf),
+                               bool(getattr(conf, "use_sam", False)),
+                               float(getattr(conf, "sam_rho", 0.05)))
 
     @jax.jit
     def scan_steps(state: TrainState, stacked: Bag, perm: jax.Array,

@@ -276,6 +276,13 @@ class MHIMFamily(Family):
     name = "mhim"
 
     def make_train_step(self, model, conf):
+        return jax.jit(self.make_step_body(model, conf))
+
+    def make_step_body(self, model, conf):
+        """Un-jitted (state, bag, rng) -> (state, aux) step — consumed
+        directly by make_train_step and by the lax.scan epoch driver
+        (engine/train.py::make_scan_train_step); the EMA teacher rides in
+        the EMATrainState carry."""
         from acmil_tpu.engine.schedules import cosine_array
 
         cls_alpha = float(getattr(conf, "cls_alpha", 1.0))
@@ -299,7 +306,6 @@ class MHIMFamily(Family):
         else:
             mrh_arr = None
 
-        @jax.jit
         def step(state, bag, rng):
             mm = (mm_arr[jnp.minimum(state.step, len(mm_arr) - 1)]
                   if mm_arr is not None else mm0)

@@ -114,11 +114,38 @@ def test_evaluate_scanned_matches_evaluate(tiny_conf, synthetic_slides):
                                    err_msg=k)
 
 
-def test_scan_step_none_for_custom_families(tiny_conf):
-    conf = tiny_conf
-    conf.arch = "mhim"
-    model, family = build_mil_model(conf)
-    assert make_scan_train_step(model, conf, family) is None
+def test_scan_train_matches_loop_mhim(tiny_conf, synthetic_slides):
+    """MHIM's custom EMA step participates via make_step_body — the scan
+    must reproduce the loop's params AND teacher EMA params."""
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides,
+                                             arch="mhim")
+    rng = jax.random.PRNGKey(5)
+    loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0)
+    groups = loader.device_groups()
+
+    step = make_train_step(model, conf, family)
+    state_loop = state
+    for stacked in groups:
+        for i in range(int(stacked.label.shape[0])):
+            bag = jax.tree_util.tree_map(lambda l: l[i], stacked)
+            state_loop, _ = step(state_loop, bag, rng)
+
+    scan_step = make_scan_train_step(model, conf, family)
+    assert scan_step is not None
+    state_scan = state
+    for stacked in groups:
+        k = int(stacked.label.shape[0])
+        state_scan, _ = scan_step(state_scan, stacked, jnp.arange(k), rng)
+
+    for attr in ("params", "teacher_params"):
+        fl = jax.flatten_util.ravel_pytree(getattr(state_loop, attr))[0]
+        fs = jax.flatten_util.ravel_pytree(getattr(state_scan, attr))[0]
+        # scan and loop compile to different fusions; MHIM's top-k mask
+        # selection is discontinuous, so sub-ulp logit differences can
+        # flip a pick and leave a few params ~1e-4 apart after 20 Adam
+        # steps (observed: <0.01% of elements). Assert near-equality.
+        np.testing.assert_allclose(np.asarray(fs), np.asarray(fl),
+                                   rtol=5e-4, atol=1e-3, err_msg=attr)
 
 
 def test_device_groups_rejects_mesh(tiny_conf, synthetic_slides):
