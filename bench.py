@@ -111,9 +111,77 @@ def bench_extraction_throughput(batch=512):
     }))
 
 
+def bench_train_epoch(n_bags=242):
+    """Scan-epoch training throughput at the Camelyon16 protocol scale
+    (242 train bags, ACMIL recipe). One pad bucket so the whole bench
+    compiles exactly one scan program; the baseline is the per-bag-loop
+    epoch measured on this chip (~1.1 s — BENCH_NOTES.md), i.e.
+    vs_baseline is the scan-path speedup."""
+    import numpy as np
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.loader import BagLoader
+    from acmil_tpu.engine.train import create_train_state, make_scan_train_step
+    from acmil_tpu.models import build_mil_model
+
+    class _Src:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+        def lengths(self):
+            return [len(it["input"]) for it in self.items]
+
+    rs = np.random.RandomState(0)
+    items = []
+    for i in range(n_bags):
+        n = int(np.clip(rs.lognormal(np.log(3000), 0.7), 500, 8000))
+        items.append({"input": rs.randn(n, 384).astype(np.float16),
+                      "coords": np.zeros((n, 2), np.int64),
+                      "label": i % 2})
+
+    conf = Config(n_class=2, D_feat=384, D_inner=128, arch="ga", n_token=5,
+                  n_masked_patch=10, mask_drop=0.6, lr=1e-4, wd=1e-5,
+                  train_epoch=100, warmup_epoch=2, B=1, min_bucket=8192)
+    model, family = build_mil_model(conf)
+    loader = BagLoader(_Src(items), 1, shuffle=True, seed=4,
+                       min_bucket=8192, dtype=np.float16)
+    state = create_train_state(model, conf, jax.random.PRNGKey(4),
+                               next(iter(loader)), steps_per_epoch=n_bags,
+                               family=family)
+    scan_step = make_scan_train_step(model, conf, family)
+    rng = jax.random.PRNGKey(4)
+
+    def epoch():
+        t0 = time.perf_counter()
+        for stacked in loader.device_groups():
+            k = int(stacked.label.shape[0])
+            state2, sums = scan_step(state, stacked,
+                                     jnp.asarray(np.arange(k)), rng)
+        jax.block_until_ready(state2.params)
+        float(sums["loss"])   # hard sync through the relay
+        return time.perf_counter() - t0
+
+    epoch()  # upload + compile
+    sec = min(epoch() for _ in range(3))
+    loop_sec = 1.1  # per-bag-loop epoch on this chip (BENCH_NOTES.md)
+    print(json.dumps({
+        "metric": "acmil_train_epoch_camelyon16_scale_scan",
+        "value": round(sec * 1e3, 1),
+        "unit": "ms/epoch(242 bags)",
+        "vs_baseline": round(loop_sec / sec, 2),
+    }))
+
+
 def main():
     bench_extraction_throughput()
     bench_mil_latency()
+    bench_train_epoch()
 
 
 if __name__ == "__main__":
