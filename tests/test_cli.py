@@ -184,3 +184,15 @@ def test_mhim_student_init_fc(tmp_path):
     conf2.extra["init_stu_type"] = "bogus"
     with pytest.raises(ValueError):
         init_teacher_student(state, conf2)
+
+
+def test_run_training_scan_epoch(tmp_path):
+    """--scan_epoch end-to-end through run_training (B=1 so train bags
+    device-cache and the lax.scan drivers engage)."""
+    conf = _setup(tmp_path, arch="ga", epochs=2)
+    conf.B = 1
+    conf.scan_epoch = True
+    conf.extra["cache_train"] = True
+    best = run_training(conf)
+    assert "auc" in best and np.isfinite(best["auc"])
+    assert os.path.exists(str(tmp_path / "ckpt" / "checkpoint-best.json"))
