@@ -542,3 +542,109 @@ def test_bmil_vis_parity(bag, monkeypatch):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["attn"][0, 0]),
                                t_attn.numpy()[0], rtol=2e-4, atol=2e-5)
+
+
+def test_clam_mb_parity(bag):
+    """Multi-branch CLAM: per-class attention + per-class bag classifiers
+    with softmax_one normalisation (`clam.py:211-282`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from architecture.clam import CLAM_MB as TorchCLAM
+
+    from acmil_tpu.models.clam import CLAM_MB
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchCLAM(conf, dropout=False)
+    tm.eval()
+    stem = tm.attention_net[0]
+    ang = tm.attention_net[2]
+    params = {
+        "Dense_0": _lin(stem),
+        "AttnNetGated_0": {
+            "Dense_0": _lin(ang.attention_a[0]),
+            "Dense_1": _lin(ang.attention_b[0]),
+            "Dense_2": _lin(ang.attention_c),
+        },
+        "bag_w": np.stack([c.weight.detach().numpy()[0]
+                           for c in tm.classifiers]),
+        "bag_b": np.array([c.bias.detach().numpy()[0]
+                           for c in tm.classifiers]),
+        "inst_w": np.stack([c.weight.detach().numpy().T
+                            for c in tm.instance_classifiers]),
+        "inst_b": np.stack([c.bias.detach().numpy()
+                            for c in tm.instance_classifiers]),
+    }
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(bag))
+
+    fm = CLAM_MB(n_class=2, d_inner=32, d_attn=128, droprate=0.0)
+    out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(bag), jnp.ones((1, 200), bool),
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mha_single_query_parity(bag):
+    """Single learned-query MHA baseline (`transformer.py:86-105`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from architecture.transformer import MHA as TorchMHA
+
+    from acmil_tpu.models.acmil import MHA
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchMHA(conf)
+    tm.eval()
+    sa = tm.attention
+    params = {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": tm.dimreduction.fc1.weight.detach().numpy().T.copy()}},
+        "q": tm.q.detach().numpy().copy(),
+        "MultiHeadAttention_0": {
+            "Dense_0": _lin(sa.q_proj),
+            "Dense_1": _lin(sa.k_proj),
+            "Dense_2": _lin(sa.v_proj),
+            "Dense_3": _lin(sa.out_proj),
+            "LayerNorm_0": {"scale": sa.layer_norm.weight.detach().numpy(),
+                            "bias": sa.layer_norm.bias.detach().numpy()},
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(tm.classifier.fc)},
+    }
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(bag))
+
+    fm = MHA(n_class=2, d_inner=32, num_heads=8)
+    f_out = fm.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                     jnp.asarray(bag), jnp.ones((1, 200), bool),
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mean_max_parity(bag):
+    """Conf-driven mean/max pooling MIL (`modules/mean_max.py:14,39`)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    from modules.mean_max import MaxMIL as TorchMax
+    from modules.mean_max import MeanMIL as TorchMean
+
+    from acmil_tpu.models.mean_max import MaxMIL, MeanMIL
+
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    for TorchCls, FlaxCls in ((TorchMean, MeanMIL), (TorchMax, MaxMIL)):
+        tm = TorchCls(conf)
+        tm.eval()
+        params = {"Dense_0": _lin(tm.head[0]), "Dense_1": _lin(tm.head[-1])}
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(bag))
+        fm = FlaxCls(n_class=2, d_inner=32, droprate=0.0)
+        f_out = fm.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True)
+        np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
+                                   rtol=1e-4, atol=1e-5)
