@@ -137,6 +137,160 @@ def nystrom_attention(
     return out, attn_rows
 
 
+def sharded_nystrom_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    mesh,
+    num_landmarks: int,
+    seq_axis: str = "seq",
+    pinv_iterations: int = 6,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Sequence-sharded masked Nystrom attention for mega-bags.
+
+    The patch axis N is sharded over ``seq_axis`` (S devices); landmarks
+    partition with it (``num_landmarks % S == 0``, same contiguous
+    grouping as :func:`nystrom_attention`), so the result equals the
+    single-device op up to f32 summation order — nothing is approximated.
+    Communication per layer is O(H·m·Dh) bytes, independent of N:
+
+    - landmark means ``q_l``/``k_l`` (tiny, [B,H,m/S,Dh]) all-gather;
+    - ``attn2``/its pseudo-inverse replicate (m x m, computed everywhere);
+    - ``attn1`` rows are local (softmax over the gathered landmark axis);
+    - ``attn3``'s softmax runs over the *sharded* position axis: global
+      row max via pmax, global denominator and the ``attn3 @ v``
+      contraction via one psum of the [B,H,m,Dh] partial products.
+
+    q, k, v: [B, H, N, Dh] sharded P(None, None, seq_axis, None);
+    mask: [B, N] sharded P(None, seq_axis) or None. Returns out with q's
+    sharding. Attention-row extraction (heatmaps) is single-device-only.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    s = mesh.shape[seq_axis]
+    m = num_landmarks
+    assert m % s == 0, f"landmarks {m} not divisible by seq shards {s}"
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None, seq_axis, None),) * 3
+        + ((P(None, seq_axis),) if mask is not None else (P(),)),
+        out_specs=P(None, None, seq_axis, None),
+        check_rep=False,
+    )
+    def run(q, k, v, mask_l):
+        b, h, n_loc, dh = q.shape
+        m_loc = m // s
+        assert n_loc % m_loc == 0, (n_loc, m_loc)
+        l = n_loc // m_loc
+        NEG = -1e9
+
+        if mask is not None:
+            mk = mask_l[:, None, :, None].astype(q.dtype)
+            q_, k_, v_ = q * mk, k * mk, v * mk
+        else:
+            q_, k_, v_ = q, k, v
+
+        q_l = q_.reshape(b, h, m_loc, l, dh).sum(axis=3)
+        k_l = k_.reshape(b, h, m_loc, l, dh).sum(axis=3)
+        if mask is not None:
+            counts = mask_l.reshape(b, m_loc, l).sum(axis=-1)    # [B, m/S]
+            divisor = counts[:, None, :, None].astype(q.dtype) + eps
+            lmv_loc = counts > 0
+        else:
+            divisor = jnp.asarray(float(l), q.dtype)
+            lmv_loc = jnp.ones((b, m_loc), bool)
+        q_l = q_l / divisor
+        k_l = k_l / divisor
+
+        # gather the landmark stats (tiny): [B, H, m, Dh] everywhere
+        q_lg = jax.lax.all_gather(q_l, seq_axis, axis=2, tiled=True)
+        k_lg = jax.lax.all_gather(k_l, seq_axis, axis=2, tiled=True)
+        lmv = jax.lax.all_gather(lmv_loc, seq_axis, axis=1, tiled=True)
+
+        lm_cols = lmv[:, None, None, :]                          # [B,1,1,m]
+        # attn1: local query rows over all m landmarks (local softmax)
+        sim1 = jnp.einsum("bhnd,bhmd->bhnm", q_, k_lg)
+        attn1 = masked_softmax(sim1, lm_cols)
+        if mask is not None:
+            attn1 = attn1 * mask_l[:, None, :, None].astype(q.dtype)
+
+        # attn2 + pinv: replicated m x m compute
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_lg, k_lg)
+        attn2 = masked_softmax(sim2, lm_cols)
+        lm_row = lmv[:, None, :, None].astype(q.dtype)
+        eye = jnp.eye(m, dtype=q.dtype)
+        attn2 = attn2 * lm_row + eye * (1.0 - lm_row)
+        attn2_inv = newton_schulz_pinv(attn2, pinv_iterations)
+
+        # attn3: softmax over the SHARDED position axis — flash-style
+        # global max + global denominator, then one psum of the partial
+        # [m, Dh] products
+        sim3 = jnp.einsum("bhmd,bhnd->bhmn", q_lg, k_)
+        if mask is not None:
+            sim3 = jnp.where(mask_l[:, None, None, :], sim3, NEG)
+        row_max = jax.lax.pmax(jnp.max(sim3, axis=-1, keepdims=True),
+                               seq_axis)
+        p3 = jnp.exp(sim3 - row_max)
+        if mask is not None:
+            p3 = jnp.where(mask_l[:, None, None, :], p3, 0.0)
+        denom = jax.lax.psum(jnp.sum(p3, axis=-1, keepdims=True), seq_axis)
+        pv = jax.lax.psum(jnp.einsum("bhmn,bhnd->bhmd", p3, v_), seq_axis)
+        attn3_v = pv / jnp.maximum(denom, eps)
+        attn3_v = attn3_v * lm_row                               # invalid lms
+
+        out = (attn1 @ attn2_inv) @ attn3_v.astype(q.dtype)      # [B,H,n_loc,Dh]
+        return out
+
+    args = (q, k, v, mask if mask is not None else jnp.zeros((), q.dtype))
+    return run(*args)
+
+
+def sharded_depthwise_seq_conv(v: jnp.ndarray, w: jnp.ndarray, mesh,
+                               seq_axis: str = "seq") -> jnp.ndarray:
+    """Sequence-sharded value-residual conv: halo-exchange ``ksize // 2``
+    positions with each neighbour via ppermute, zero halos at the ends
+    (matching :func:`depthwise_seq_conv`'s zero padding)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    s = mesh.shape[seq_axis]
+    h, ksize = w.shape
+    pad = ksize // 2
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, seq_axis, None), P()),
+             out_specs=P(None, None, seq_axis, None), check_rep=False)
+    def run(v_loc, w_):
+        idx = jax.lax.axis_index(seq_axis)
+        assert v_loc.shape[2] >= pad, "shard shorter than the conv halo"
+        right_edge = v_loc[:, :, -pad:]                  # goes to i+1's left
+        left_edge = v_loc[:, :, :pad]                    # goes to i-1's right
+        from_left = jax.lax.ppermute(
+            right_edge, seq_axis, [(i, (i + 1) % s) for i in range(s)])
+        from_right = jax.lax.ppermute(
+            left_edge, seq_axis, [(i, (i - 1) % s) for i in range(s)])
+        from_left = jnp.where(idx == 0, 0.0, from_left)
+        from_right = jnp.where(idx == s - 1, 0.0, from_right)
+        ext = jnp.concatenate([from_left, v_loc, from_right], axis=2)
+        kernel = w_[:, None, :, None]                    # [H,1,k,1] OIHW
+        out = jax.lax.conv_general_dilated(
+            ext, kernel.astype(ext.dtype), window_strides=(1, 1),
+            padding=((0, 0), (0, 0)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=h)
+        return out
+
+    return run(v, w)
+
+
 def depthwise_seq_conv(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Per-head depthwise conv along the sequence axis — the value residual
     (`nystrom_attention.py:61-65`, Conv2d(heads, heads, (k,1), groups=heads)).

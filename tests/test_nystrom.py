@@ -90,3 +90,49 @@ def test_depthwise_seq_conv_shape():
     out2 = depthwise_seq_conv(v2, w)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]),
                                rtol=1e-5)
+
+
+def test_sharded_nystrom_matches_single_device():
+    """Sequence-sharded Nystrom must equal the single-device op (nothing
+    approximated: landmark stats all-gather, attn3 uses global max/sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.nystrom import nystrom_attention, sharded_nystrom_attention
+    from acmil_tpu.parallel import make_mesh
+
+    rs = np.random.RandomState(0)
+    b, h, n, dh, m = 2, 4, 256, 16, 32
+    q = jnp.asarray(rs.randn(b, h, n, dh), jnp.float32) * 0.3
+    k = jnp.asarray(rs.randn(b, h, n, dh), jnp.float32) * 0.3
+    v = jnp.asarray(rs.randn(b, h, n, dh), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.85)
+
+    ref, _ = nystrom_attention(q, k, v, mask, num_landmarks=m)
+    mesh = make_mesh(data=2, seq=4)
+    out = sharded_nystrom_attention(q, k, v, mask, mesh, num_landmarks=m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # unmasked path
+    ref_u, _ = nystrom_attention(q, k, v, None, num_landmarks=m)
+    out_u = sharded_nystrom_attention(q, k, v, None, mesh, num_landmarks=m)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_depthwise_conv_matches_single_device():
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.nystrom import depthwise_seq_conv, sharded_depthwise_seq_conv
+    from acmil_tpu.parallel import make_mesh
+
+    rs = np.random.RandomState(1)
+    b, h, n, dh = 2, 4, 256, 16
+    v = jnp.asarray(rs.randn(b, h, n, dh), jnp.float32)
+    w = jnp.asarray(rs.randn(h, 33) * 0.1, jnp.float32)
+    ref = depthwise_seq_conv(v, w)
+    mesh = make_mesh(data=2, seq=4)
+    out = sharded_depthwise_seq_conv(v, w, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
