@@ -98,6 +98,11 @@ class FeatureBagSource:
             self._lengths = [int(f[n]["feat"].shape[0]) for n in self.names]
         return self._lengths
 
+    def label_of(self, name: str) -> int:
+        """Slide label without loading features (attrs-only read)."""
+        label = int(self._h5()[name].attrs["label"])
+        return self.label_map[label] if self.label_map is not None else label
+
     def feat_dim(self) -> int:
         return int(self._h5()[self.names[0]]["feat"].shape[1])
 
@@ -186,15 +191,17 @@ def _fewshot(source: FeatureBagSource, n_shot: int, seed: int) -> FeatureBagSour
     if n_shot is None or n_shot < 0:
         return source
     by_class: Dict[int, List[str]] = {}
-    for i, name in enumerate(source.names):
-        lab = source[i]["label"]
-        by_class.setdefault(lab, []).append(name)
+    for name in source.names:
+        # attrs-only label read — source[i] would load (and f32-convert)
+        # every slide's full feature matrix just to learn its class
+        by_class.setdefault(source.label_of(name), []).append(name)
     rng = random.Random(seed)
     keep: List[str] = []
     for lab, names in sorted(by_class.items()):
         rng.shuffle(names)
         keep.extend(names[:n_shot])
-    return FeatureBagSource(source.file_path, keep, source.label_map)
+    return FeatureBagSource(source.file_path, keep, source.label_map,
+                            preload=source._cache is not None)
 
 
 def build_hdf5_feat_dataset(file_path: str, conf):

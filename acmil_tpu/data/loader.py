@@ -70,14 +70,14 @@ class BagLoader:
             )
 
     # -- batch plan ---------------------------------------------------------
-    def _plan(self) -> List[List[int]]:
+    def _plan(self, shuffle: Optional[bool] = None) -> List[List[int]]:
         lengths = self.source.lengths() if hasattr(self.source, "lengths") else [
             len(self.source[i]["input"]) for i in range(len(self.source))
         ]
         groups = bucket_plan(lengths, self.batch_size, self.min_bucket, self.max_patches)
         if self.drop_last:
             groups = [g for g in groups if len(g) == self.batch_size]
-        if self.shuffle:
+        if self.shuffle if shuffle is None else shuffle:
             # bucketing already randomises composition within a bucket only
             # weakly; shuffle group order every epoch (within-bucket order
             # was fixed by the sort, so also shuffle members).
@@ -88,7 +88,9 @@ class BagLoader:
         return groups
 
     def __len__(self) -> int:
-        return len(self._plan())
+        # shuffle=False: len() must not consume self.rng, or merely asking
+        # for the length would change every later epoch's batch order
+        return len(self._plan(shuffle=False))
 
     # -- collation ----------------------------------------------------------
     def _make_batch(self, idxs: List[int]) -> Bag:
@@ -158,23 +160,47 @@ class BagLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator — a plain q.put would block this thread forever,
+            # pinning prefetch+1 collated (possibly device-put) batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for g in groups:
-                    q.put(self._make_batch(g))
+                    if not _put(self._make_batch(g)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            # runs on exhaustion AND on abandonment (GeneratorExit) or an
+            # exception escaping the consuming epoch loop
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
         if err:
             raise err[0]

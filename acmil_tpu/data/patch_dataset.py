@@ -52,7 +52,7 @@ class H5PatchBatches:
             for i in range(0, self.n, self.batch):
                 chunk = np.asarray(dset[i:i + self.batch])
                 n = len(chunk)
-                if chunk.shape[1] != self.target:
+                if chunk.shape[1:3] != (self.target, self.target):
                     chunk = np.stack([
                         cv2.resize(c, (self.target, self.target))
                         for c in chunk])

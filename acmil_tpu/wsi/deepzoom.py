@@ -58,8 +58,7 @@ class DeepZoomGenerator:
         # read from the best native level and resize
         native = self.slide.best_level_for_downsample(ds)
         nds = self.slide.level_downsamples[native]
-        nx = int(x0 * ds / nds)
-        ny = int(y0 * ds / nds)
+        # read_region takes LEVEL-0 coords + native-level size
         nw = max(int(tw * ds / nds), 1)
         nh = max(int(th * ds / nds), 1)
         img = self.slide.read_region((int(x0 * ds), int(y0 * ds)), native,

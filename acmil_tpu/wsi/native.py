@@ -87,15 +87,21 @@ class NativeSlide(Slide):
         self.properties = {}
         self.path = path
 
+    def _handle(self):
+        # guard: a NULL handle into the C ABI is a segfault, not an error
+        if not self._h:
+            raise RuntimeError(f"slide {self.path!r} is closed")
+        return self._h
+
     def best_level_for_downsample(self, downsample: float) -> int:
         return int(self._lib.sio_best_level_for_downsample(
-            self._h, float(downsample)))
+            self._handle(), float(downsample)))
 
     def read_region(self, location, level, size) -> np.ndarray:
         w, h = int(size[0]), int(size[1])
         out = np.empty((h, w, 3), np.uint8)
         ok = self._lib.sio_read_region(
-            self._h, out.ctypes.data_as(C.POINTER(C.c_uint8)),
+            self._handle(), out.ctypes.data_as(C.POINTER(C.c_uint8)),
             int(location[0]), int(location[1]), int(level), w, h)
         if not ok:
             raise OSError(f"read_region failed: "
@@ -106,6 +112,12 @@ class NativeSlide(Slide):
         if getattr(self, "_h", None):
             self._lib.sio_close(self._h)
             self._h = None
+
+    def __del__(self):  # LRU eviction only drops the reference (see
+        try:            # _LRUSlideCache.put); the native handle closes here
+            self.close()
+        except Exception:
+            pass
 
 
 def write_spy(path: str, levels: Sequence[np.ndarray], tile_size: int = 256,

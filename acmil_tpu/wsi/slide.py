@@ -148,8 +148,11 @@ class _LRUSlideCache:
             self._cache[path] = slide
             self._cache.move_to_end(path)
             while len(self._cache) > self.max_open:
-                _, old = self._cache.popitem(last=False)
-                old.close()
+                # drop the reference only (reference LRUCacheDict
+                # semantics): callers may still hold the evicted slide.
+                # Native handles close via NativeSlide.__del__ once the
+                # last reference dies.
+                self._cache.popitem(last=False)
 
     def clear(self):
         with self._lock:

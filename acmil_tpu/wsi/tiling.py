@@ -8,9 +8,10 @@ written to the Step1 H5 schema.
 
 Redesign (replacing the reference's ``mp.Pool(4).starmap`` of per-point
 ``cv2.pointPolygonTest`` calls, `WholeSlideImage.py:519-531`): rasterize
-each contour (minus holes) ONCE into a binary mask at a convenient
-resolution, then every containment test is a vectorised mask gather —
-orders of magnitude faster in pure numpy and trivially batchable.
+each contour (and its holes) ONCE into bbox-local binary masks at a
+convenient resolution, then every containment test is a vectorised mask
+gather — orders of magnitude faster in pure numpy and trivially
+batchable.
 """
 
 from __future__ import annotations
@@ -26,14 +27,17 @@ import numpy as np
 from acmil_tpu.wsi.segment import SegmentationResult
 
 
-def _contour_mask(contour: np.ndarray, holes: List[np.ndarray],
-                  shape_wh: Tuple[int, int], scale: float) -> np.ndarray:
-    """Rasterize contour minus holes at ``scale`` x the contour coords."""
+def _raster(polys: List[np.ndarray], origin_xy: Tuple[int, int],
+            shape_wh: Tuple[int, int], scale: float) -> np.ndarray:
+    """Rasterize polygons into a bbox-local mask at ``scale``, with a
+    1-px zero border so clipped out-of-bbox lookups read 'outside'.
+    (bbox-local: a full-slide mask per contour is O(slide area) each.)"""
+    ox, oy = origin_xy
     w, h = shape_wh
-    mask = np.zeros((h, w), np.uint8)
-    cv2.drawContours(mask, [np.asarray(contour * scale, np.int32)], -1, 1, -1)
-    for hole in holes:
-        cv2.drawContours(mask, [np.asarray(hole * scale, np.int32)], -1, 0, -1)
+    mask = np.zeros((h + 2, w + 2), np.uint8)
+    for p in polys:
+        local = (np.asarray(p, np.float64) - [ox, oy]) * scale + 1.0
+        cv2.drawContours(mask, [local.astype(np.int32)], -1, 1, -1)
     return mask
 
 
@@ -104,21 +108,35 @@ def tile_contours(
         c0 = np.asarray(cont * scale0, np.int32)
         holes0 = [np.asarray(hl * scale0, np.int32) for hl in holes]
         x, y, cw, ch = cv2.boundingRect(c0)
-        gx = np.arange(x, x + cw - ref_patch + 1, step, dtype=np.int64)
-        gy = np.arange(y, y + ch - ref_patch + 1, step, dtype=np.int64)
+        # full bbox, like the reference's use_padding=True default
+        # (`WholeSlideImage.py:471-473`): edge patches are kept (the
+        # reader pads past the slide boundary), and small contours still
+        # yield their candidates
+        gx = np.arange(x, x + cw, step, dtype=np.int64)
+        gy = np.arange(y, y + ch, step, dtype=np.int64)
         if len(gx) == 0 or len(gy) == 0:
             continue
         xs, ys = np.meshgrid(gx, gy, indexing="ij")
         cand = np.stack([xs.ravel(), ys.ravel()], axis=1)
 
-        mask = _contour_mask(c0.astype(np.float64), holes0, (mw, mh),
-                             mask_scale)
-        cx = ((cand[:, 0] + ref_patch // 2) * mask_scale).astype(np.int64)
-        cy = ((cand[:, 1] + ref_patch // 2) * mask_scale).astype(np.int64)
+        bw = max(int(np.ceil(cw * mask_scale)), 1)
+        bh = max(int(np.ceil(ch * mask_scale)), 1)
+        cont_mask = _raster([c0], (x, y), (bw, bh), mask_scale)
+        cx = ((cand[:, 0] + ref_patch // 2 - x) * mask_scale + 1).astype(np.int64)
+        cy = ((cand[:, 1] + ref_patch // 2 - y) * mask_scale + 1).astype(np.int64)
         shift = int(ref_patch // 2 * 0.5 * mask_scale)
         mode = {"four_pt": "four_pt", "four_pt_hard": "four_pt_hard",
                 "center": "center", "basic": "center"}[contour_fn]
-        ok = _four_point_test(mask, cx, cy, shift, mode)
+        # the 4-point predicate tests the CONTOUR only; holes exclude on
+        # the patch center, independently — matching isInContours
+        # (`WholeSlideImage.py:406-412`: cont_check_fn(pt) and-not
+        # isInHoles(center))
+        ok = _four_point_test(cont_mask, cx, cy, shift, mode)
+        if holes0:
+            hole_mask = _raster(holes0, (x, y), (bw, bh), mask_scale)
+            in_hole = hole_mask[np.clip(cy, 0, bh + 1),
+                                np.clip(cx, 0, bw + 1)] > 0
+            ok &= ~in_hole
         coords = cand[ok]
         all_coords.append(coords)
         if ann_mask is not None:
@@ -160,4 +178,9 @@ def load_coords_h5(path: str):
         coords = np.asarray(f["coords"][:])
         labels = np.asarray(f["labels"][:]) if "labels" in f else None
         attrs = dict(f["coords"].attrs)
+    # reference dumps store 'downsample' as a 2-element (dx, dy) array
+    # (`WholeSlideImage.py:390`); normalise to a scalar for the patch-size
+    # arithmetic in Step2
+    if "downsample" in attrs:
+        attrs["downsample"] = float(np.asarray(attrs["downsample"]).ravel()[0])
     return coords, labels, attrs
