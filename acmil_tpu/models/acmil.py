@@ -70,7 +70,8 @@ class ACMIL_GA(nn.Module):
 
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True,
-                 use_attention_mask: Optional[bool] = None):
+                 use_attention_mask: Optional[bool] = None,
+                 return_bag_feat: bool = False):
         x = DimReduction(self.d_inner)(feats)                 # [B, N, L]
         a = AttentionGated(self.d_attn, self.n_token)(x)      # [B, K, N]
 
@@ -90,22 +91,27 @@ class ACMIL_GA(nn.Module):
         b = self.param("branch_b", nn.initializers.zeros, (self.n_token, self.n_class))
         sub_preds = jnp.einsum("bkl,klc->bkc", branch_feat, w) + b
 
-        bag_attn = masked_softmax(a, m).mean(axis=1, keepdims=True)  # [B, 1, N]
+        # slide pooling reuses the SAME branch softmax, mean over branches
+        # (`transformer.py:328`: bag_A = softmax(A_out).mean(0))
+        bag_attn = attn.mean(axis=1, keepdims=True)           # [B, 1, N]
         bag_feat = jnp.einsum("bkn,bnd->bkd", bag_attn, x)[:, 0]
+        if return_bag_feat:
+            return bag_feat
         slide_preds = Classifier1fc(self.n_class, self.droprate)(bag_feat, deterministic)
         return sub_preds, slide_preds, a
 
     def forward_feature(self, feats, mask=None, use_attention_mask: bool = False):
-        """Bag feature for IBMIL-style downstream use (`transformer.py:332`).
+        """Pooled bag feature ``[B, L]`` for IBMIL-style downstream use
+        (`transformer.py:332-354`: bag_A = softmax(A_out).mean(0), bag_feat
+        = bag_A @ x).
 
         Fixes the reference's Step4 kwarg mismatch (SURVEY §2.1: Step4 calls
         ``net(feat, use_attention_mask=False)`` which `forward` doesn't
         accept) — here both paths accept the flag.
         """
-        sub, slide, a = self(feats, mask, deterministic=not use_attention_mask,
-                             use_attention_mask=use_attention_mask)
-        del sub, slide
-        return a
+        return self(feats, mask, deterministic=not use_attention_mask,
+                    use_attention_mask=use_attention_mask,
+                    return_bag_feat=True)
 
 
 class MultiHeadAttention(nn.Module):

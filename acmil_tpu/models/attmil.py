@@ -54,7 +54,13 @@ class DAttentionMIL(nn.Module):
 class ResnetE2EMIL(nn.Module):
     """End-to-end patch-pixel MIL: ResNet50 trunk → MLP stem → per-patch
     logits with masked-max pooling (`architecture/attmil.py:17-44`,
-    ``Resnet``). Consumes raw patch pixels ``[B, N, H, W, 3]``."""
+    ``Resnet``; dead code in the reference — only its __main__ smoke block
+    constructs it). Consumes raw patch pixels ``[B, N, H, W, 3]``.
+
+    Deliberate deltas: the 1-logit binary max head generalises to
+    ``n_class``; BatchNorm runs with FROZEN statistics (trainable affine) —
+    the standard frozen-BN finetuning mode — since the per-bag "batch" of
+    patches is not i.i.d. and the engine keeps params-only state."""
 
     n_class: int
     droprate: float = 0.25

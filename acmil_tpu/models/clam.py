@@ -141,6 +141,12 @@ class _CLAMBase(nn.Module):
         total = jnp.sum(onehot * in_l, axis=-1)
         if self._subtyping():
             total = (total + jnp.sum((1 - onehot) * out_l, axis=-1)) / self.n_class
+        if mask is not None:
+            # average over REAL bags only: padded all-False-mask batch rows
+            # contribute 0 and a plain mean would dilute the instance term
+            # relative to the valid-weighted bag CE it is mixed with
+            valid = mask.any(axis=1).astype(total.dtype)        # [B]
+            return jnp.sum(total * valid) / jnp.maximum(valid.sum(), 1.0)
         return jnp.mean(total)
 
 

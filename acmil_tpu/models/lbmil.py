@@ -29,7 +29,11 @@ class LBMIL(nn.Module):
 
         out_c = x @ w + b                                        # [B,N,C]
         m = mask[..., None] if mask is not None else None
-        out_m = jnp.where(m, out_c, -jnp.inf) if m is not None else out_c
+        # finite fill (not -inf): a fully-masked batch row (mesh loaders
+        # pad ragged batches with all-False-mask rows) would give
+        # gmax=-inf and -inf - -inf = NaN, poisoning the whole batch loss
+        # even at loss weight 0
+        out_m = jnp.where(m, out_c, -1e30) if m is not None else out_c
         gmax = jnp.max(out_m, axis=(1, 2), keepdims=True)
         score = jnp.exp(out_m - gmax).sum(axis=-1)               # [B,N]; pads → 0
         alpha = score / jnp.maximum(score.sum(axis=1, keepdims=True), 1e-12)

@@ -135,7 +135,10 @@ class SAttentionEncoder(nn.Module):
             from acmil_tpu.models.emb_position import PEG, SINCOS
 
             emb = PEG(self.dim) if self.pos == "peg" else SINCOS(self.dim)
-            body = emb(h[:, 1:], gh, gw)
+            # rezero BEFORE the positional conv too (like the ppeg branch):
+            # masked slots are nonzero after TransLayer and PEG's 7x7
+            # depthwise conv would bleed them into valid grid neighbours
+            body = emb(rezero(h)[:, 1:], gh, gw)
             h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
             h, a2 = TransLayer(self.dim, self.dtype)(h, fmask, deterministic,

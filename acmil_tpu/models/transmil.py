@@ -75,7 +75,11 @@ class NystromAttention(nn.Module):
         if self.residual:
             w = self.param("res_conv", nn.initializers.lecun_normal(),
                            (h, self.residual_conv_kernel))
-            out = out + depthwise_seq_conv(v, w)
+            # zero masked slots first: v at padded rows is nonzero once
+            # trained (LN bias through the bias-free qkv Dense), and the
+            # 33-wide conv would mix those constants into valid neighbours
+            v_in = v if mask is None else v * mask[:, None, :, None].astype(v.dtype)
+            out = out + depthwise_seq_conv(v_in, w)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
         out = nn.Dense(self.dim, dtype=self.dtype)(out).astype(jnp.float32)

@@ -74,15 +74,17 @@ def kmeans(x, k: int, n_iter: int = 20, seed: int = 66,
     xb = pca_whiten(raw, pca_dim)
     rng = jax.random.PRNGKey(seed)
     n = xb.shape[0]
-    # k-means++ style init (static number of sequential draws)
+    # k-means++ style init: carry a running [N] min-distance and update it
+    # with only the NEWEST centroid each draw — O(N*k*D) total and O(N)
+    # state, vs rebuilding the full [N, i, D] pairwise tensor per draw
     idx0 = jax.random.randint(rng, (), 0, n)
     centroids = [xb[idx0]]
+    d_min = jnp.sum((xb - xb[idx0]) ** 2, axis=-1)            # [N]
     for i in range(1, k):
-        c = jnp.stack(centroids)
-        d = jnp.min(jnp.sum((xb[:, None, :] - c[None]) ** 2, -1), axis=1)
-        p = d / jnp.maximum(d.sum(), 1e-12)
+        p = d_min / jnp.maximum(d_min.sum(), 1e-12)
         idx = jax.random.choice(jax.random.fold_in(rng, i), n, p=p)
         centroids.append(xb[idx])
+        d_min = jnp.minimum(d_min, jnp.sum((xb - xb[idx]) ** 2, axis=-1))
     init = jnp.stack(centroids)
 
     _, assign = _lloyd(xb, init, k, n_iter)

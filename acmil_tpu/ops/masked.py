@@ -99,16 +99,32 @@ def stkim_mask(
     """
     n = attn_logits.shape[-1]
     k = min(n_masked_patch, n)
-    n_drop = int(k * mask_drop)
-    if k <= 0 or n_drop <= 0:
+    n_drop_max = int(k * mask_drop)
+    if k <= 0 or n_drop_max <= 0:
         return attn_logits
     topk = masked_topk_mask(attn_logits, k, mask)  # [..., K, N] bool
+    # The reference clamps k by the REAL bag length (`transformer.py:313`:
+    # n_masked_patch = min(conf, n)); with padded bags the clamp must use
+    # the per-bag valid count, or a bag with n_valid < k drops
+    # floor(k*mask_drop) of its n_valid patches — up to all of them.
+    if mask is not None:
+        n_valid = jnp.sum(mask, axis=-1)                     # [..., 1|K]
+        k_eff = jnp.minimum(k, n_valid)
+    else:
+        k_eff = jnp.full(attn_logits.shape[:-1], k)
+    n_drop = jnp.floor(k_eff * mask_drop).astype(jnp.int32)  # [..., 1|K]
+    n_drop = jnp.broadcast_to(n_drop, attn_logits.shape[:-1])
     # Random ranks: positions in the top-k set compete on iid uniforms; the
     # n_drop smallest get dropped — exactly a uniform random n_drop-subset.
     u = jax.random.uniform(rng, attn_logits.shape, dtype=jnp.float32)
     u = jnp.where(topk, u, jnp.inf)
-    threshold = jax.lax.top_k(-u, n_drop)[0][..., -1:]  # n_drop-th smallest
-    drop = jnp.logical_and(topk, -u >= threshold)
+    # n_drop varies per bag but is bounded by the static n_drop_max: take
+    # the n_drop_max smallest once, then pick each row's n_drop-th as its
+    # threshold
+    smallest = jax.lax.top_k(-u, n_drop_max)[0]              # [..., n_drop_max]
+    idx = jnp.clip(n_drop - 1, 0, n_drop_max - 1)[..., None]
+    threshold = jnp.take_along_axis(smallest, idx, axis=-1)  # [..., 1]
+    drop = topk & (-u >= threshold) & (n_drop[..., None] > 0)
     return masked_fill(attn_logits, jnp.logical_not(drop))
 
 

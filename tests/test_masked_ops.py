@@ -90,3 +90,31 @@ def test_masked_mean_max():
     mask = jnp.array([[True, True, False]])
     np.testing.assert_allclose(np.asarray(masked_mean(x, mask)), [[2.0, 3.0]])
     np.testing.assert_allclose(np.asarray(masked_max(x, mask)), [[3.0, 4.0]])
+
+
+def test_stkim_clamps_to_valid_count():
+    """A bag with fewer valid patches than n_masked_patch must drop
+    floor(n_valid * mask_drop), not floor(n_masked_patch * mask_drop)
+    (`transformer.py:313`: n_masked_patch = min(conf, n))."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.masked import NEG_INF, stkim_mask
+
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(
+        np.random.RandomState(0).randn(1, 2, 256), jnp.float32)
+    mask = jnp.zeros((1, 1, 256), bool).at[:, :, :3].set(True)  # 3 valid
+
+    out = stkim_mask(rng, logits, n_masked_patch=10, mask_drop=0.6, mask=mask)
+    dropped = (out <= NEG_INF / 2) & np.asarray(mask)
+    # floor(min(10, 3) * 0.6) = 1 per branch — never all 3
+    per_branch = np.asarray(dropped.sum(axis=-1))[0]
+    assert (per_branch == 1).all(), per_branch
+
+    # plenty of valid patches: full static drop count applies
+    mask_full = jnp.ones((1, 1, 256), bool)
+    out2 = stkim_mask(rng, logits, n_masked_patch=10, mask_drop=0.6,
+                      mask=mask_full)
+    per_branch2 = np.asarray(((out2 <= NEG_INF / 2).sum(axis=-1)))[0]
+    assert (per_branch2 == 6).all(), per_branch2

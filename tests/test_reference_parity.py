@@ -20,7 +20,10 @@ torch = pytest.importorskip("torch")
 if not os.path.isdir(REF):
     pytest.skip("reference checkout not available", allow_module_level=True)
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    # APPEND, not insert(0): the reference repo carries same-named
+    # top-level files (IBMIL_clustering.py, Step*.py) that would shadow
+    # ours for any test that imports them after this module loads
+    sys.path.append(REF)
 
 
 class _Conf(types.SimpleNamespace):
