@@ -30,7 +30,7 @@ from acmil_tpu.utils import set_seed
 def main():
     p = argparse.ArgumentParser("IBMIL confounder clustering (TPU)")
     p.add_argument("--config", required=True)
-    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)  # None: YAML seed wins
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="phase-1 IBMIL checkpoint dir")
     p.add_argument("--k", type=int, default=8)

@@ -18,8 +18,7 @@ import cv2
 import numpy as np
 import pandas as pd
 
-SLIDE_EXTS = (".spy", ".svs", ".tif", ".tiff", ".ndpi", ".mrxs", ".kfb",
-              ".png", ".jpg", ".jpeg")
+from acmil_tpu.wsi.slide import SLIDE_EXTS
 
 
 def walk_dir(source):
@@ -102,6 +101,10 @@ def seg_and_patch(args):
         df.to_csv(csv_path)
         total_seg += seg_t
         total_patch += patch_t
+    # persist once more at the end: the auto-skip branch updates status
+    # only in memory, so an all-skipped (or skip-tail) run would otherwise
+    # leave the resume CSV stale or never written
+    df.to_csv(csv_path)
     n = max(len(slides), 1)
     print(f"avg seg {total_seg / n:.2f}s, avg patch {total_patch / n:.2f}s")
 

@@ -97,6 +97,7 @@ def main():
     from acmil_tpu.config import Config
     from acmil_tpu.models.encoders import build_encoder
     from acmil_tpu.wsi import open_slide
+    from acmil_tpu.wsi.slide import SLIDE_EXTS
     from acmil_tpu.wsi.tiling import load_coords_h5
 
     p = argparse.ArgumentParser("Step2: feature extraction (TPU)")
@@ -105,24 +106,29 @@ def main():
     p.add_argument("--coords_dir", default=None,
                    help="Step1 save_dir/patches with per-slide coord H5s")
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--backbone", default="ViT-S/16")
-    p.add_argument("--pretrain", default="medical_ssl")
+    # default=None so YAML config values survive the merge (Config's own
+    # defaults are ViT-S/16 / medical_ssl)
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--pretrain", default=None)
     p.add_argument("--pretrain_weights", default="",
                    help="local torch checkpoint to convert")
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--label_csv", default=None,
                    help="CSV with slide_id,label columns")
     p.add_argument("--roi_dir", default=None,
                    help="ImageFolder-style ROI crops: extract per-class "
                         "centroid features instead of slide bags")
-    p.add_argument("--mesh_data", type=int, default=0,
+    p.add_argument("--mesh_data", type=int, default=None,
                    help="shard extraction batches over N devices "
                         "(shard_map over the batch axis; 0 = single chip)")
     args = p.parse_args()
 
-    conf = (Config.from_yaml(args.config, vars(args)) if args.config
-            else Config.from_dict(vars(args)))
+    overrides = {k: v for k, v in vars(args).items() if v is not None}
+    conf = (Config.from_yaml(args.config, overrides) if args.config
+            else Config.from_dict(overrides))
     conf.resolve_dims()
+    batch_size = int(getattr(conf, "batch_size", 0) or 256)
+    mesh_data = int(getattr(conf, "mesh_data", 0) or 0)
 
     import jax
 
@@ -146,7 +152,7 @@ def main():
 
     if args.roi_dir:
         extract_roi_features(model, variables, spec, args.roi_dir,
-                             args.output_dir, args.batch_size)
+                             args.output_dir, batch_size)
         return
     if not args.slide_dir or not args.coords_dir:
         raise SystemExit("--slide_dir and --coords_dir are required "
@@ -172,10 +178,10 @@ def main():
     from acmil_tpu.models.encoders.build import encoder_feature_fn
 
     mesh = None
-    if args.mesh_data:
+    if mesh_data:
         from acmil_tpu.parallel import make_mesh
 
-        mesh = make_mesh(data=int(args.mesh_data), seq=1)
+        mesh = make_mesh(data=mesh_data, seq=1)
     embed = encoder_feature_fn(model, variables, spec, mesh=mesh)  # shared jit
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir,
@@ -187,8 +193,7 @@ def main():
                 print(f"{name}: exists, skipping")
                 continue
             slide_path = None
-            for ext in (".spy", ".svs", ".tif", ".tiff", ".kfb", ".png",
-                        ".jpg"):
+            for ext in SLIDE_EXTS:
                 cand = os.path.join(args.slide_dir, name + ext)
                 if os.path.exists(cand):
                     slide_path = cand
@@ -206,7 +211,7 @@ def main():
                                 attrs.get("downsample", 1.0))
             feats = extract_slide_features(
                 model, variables, spec, slide, coords, patch_size_l0,
-                int(attrs.get("patch_level", 0)), args.batch_size,
+                int(attrs.get("patch_level", 0)), batch_size,
                 embed=embed)
             dt = time.time() - t0
             g = fout.create_group(name)

@@ -95,7 +95,8 @@ def main():
         scores = probs[:n] * n
 
         slide_path = None
-        for ext in (".spy", ".svs", ".tif", ".tiff", ".kfb", ".png", ".jpg"):
+        from acmil_tpu.wsi.slide import SLIDE_EXTS
+        for ext in SLIDE_EXTS:
             cand = os.path.join(args.slide_dir, name + ext)
             if os.path.exists(cand):
                 slide_path = cand

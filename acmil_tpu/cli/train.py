@@ -33,7 +33,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config", type=str, required=True, help="YAML config")
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--wandb_mode", default="disabled",
+    # default=None everywhere below: a non-None argparse default would
+    # clobber the YAML value in load_conf's merge (Config supplies the
+    # real defaults)
+    p.add_argument("--wandb_mode", default=None,
                    choices=["offline", "online", "disabled"])
     p.add_argument("--arch", type=str, default=None)
     p.add_argument("--data_dir", type=str, default=None)
@@ -45,7 +48,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--train_epoch", type=int, default=None)
     p.add_argument("--B", type=int, default=None)
     p.add_argument("--n_shot", type=int, default=None)
-    p.add_argument("--mesh_data", type=int, default=0,
+    p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel devices (0 = single device)")
     p.add_argument("--pod", action="store_true",
                    help="multi-host pod: jax.distributed.initialize() then "
@@ -125,6 +128,11 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         from acmil_tpu.parallel import make_mesh
 
         mesh = make_mesh(data=int(conf.mesh_data), seq=1)
+    elif getattr(conf, "mesh_shape", None):
+        from acmil_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=int(conf.mesh_shape.get("data", 1)),
+                         seq=int(conf.mesh_shape.get("seq", 1)))
 
     # fp16 on the wire (features are stored fp16 anyway); eval loaders keep
     # their batches resident on device across epochs
@@ -220,8 +228,14 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         state = ckpt.restore("last", state)
         meta = ckpt.load_meta("last")
         start_epoch = int(meta.get("epoch", -1)) + 1
+        if ckpt.exists("best"):
+            # restore the best-so-far record too, or the first resumed
+            # epoch would overwrite checkpoint-best with a worse model
+            bmeta = ckpt.load_meta("best")
+            best = dict(bmeta.get("metrics", {}))
+            best["epoch"] = int(bmeta.get("epoch", -1))
         print(f"resumed from epoch {start_epoch - 1} "
-              f"(step {int(state.step)})")
+              f"(step {int(state.step)}, best so far: {best or 'none'})")
 
     for epoch in range(start_epoch, conf.train_epoch):
         logger = MetricLogger()

@@ -236,25 +236,43 @@ class SpySlide : public SlideImpl {
       fclose(f);
       return nullptr;
     }
-    fread(&n_levels, 4, 1, f);
-    fread(&s->tile_size_, 4, 1, f);
-    fread(&s->codec_, 4, 1, f);
-    s->levels_.resize(n_levels);
-    for (auto &lv : s->levels_) {
-      fread(&lv.w, 4, 1, f);
-      fread(&lv.h, 4, 1, f);
-      lv.tx = (lv.w + s->tile_size_ - 1) / s->tile_size_;
-      lv.ty = (lv.h + s->tile_size_ - 1) / s->tile_size_;
-    }
-    for (auto &lv : s->levels_) {
-      lv.tiles.resize(size_t(lv.tx) * lv.ty);
-      for (auto &t : lv.tiles) {
-        uint64_t off;
-        uint32_t sz;
-        fread(&off, 8, 1, f);
-        fread(&sz, 4, 1, f);
-        t = {off, sz};
+    // every header read is checked: a truncated file (e.g. a writer that
+    // died before finish()) must surface "truncated SPY" through
+    // sio_get_error, not feed garbage dims into resize()
+    auto rd = [&](void *dst, size_t sz) { return fread(dst, sz, 1, f) == 1; };
+    bool ok = rd(&n_levels, 4) && rd(&s->tile_size_, 4) && rd(&s->codec_, 4);
+    // sanity bounds: dims below are trusted for allocation sizes
+    ok = ok && n_levels >= 1 && n_levels <= 64 && s->tile_size_ >= 16 &&
+         s->tile_size_ <= 16384 && s->codec_ <= 1;
+    if (ok) {
+      s->levels_.resize(n_levels);
+      for (auto &lv : s->levels_) {
+        ok = ok && rd(&lv.w, 4) && rd(&lv.h, 4) && lv.w > 0 && lv.h > 0 &&
+             lv.w <= (1u << 30) && lv.h <= (1u << 30);
+        if (!ok) break;
+        lv.tx = (lv.w + s->tile_size_ - 1) / s->tile_size_;
+        lv.ty = (lv.h + s->tile_size_ - 1) / s->tile_size_;
       }
+    }
+    if (ok) {
+      for (auto &lv : s->levels_) {
+        lv.tiles.resize(size_t(lv.tx) * lv.ty);
+        for (auto &t : lv.tiles) {
+          uint64_t off;
+          uint32_t sz;
+          if (!(rd(&off, 8) && rd(&sz, 4))) {
+            ok = false;
+            break;
+          }
+          t = {off, sz};
+        }
+        if (!ok) break;
+      }
+    }
+    if (!ok) {
+      set_error("truncated or corrupt SPY header in " + path);
+      fclose(f);
+      return nullptr;
     }
     s->file_ = f;
     return s.release();

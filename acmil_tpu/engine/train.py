@@ -22,7 +22,6 @@ import optax
 from flax.training import train_state
 
 from acmil_tpu.data.bags import Bag
-from acmil_tpu.engine import losses as L
 from acmil_tpu.engine.metrics import classification_metrics
 from acmil_tpu.engine.schedules import half_cosine_schedule
 

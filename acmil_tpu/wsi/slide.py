@@ -127,6 +127,13 @@ class ImageSlide(Slide):
         return out
 
 
+# every slide container the stack can open (native SPY/OpenSlide/KFB
+# backends + plain images); shared by the Step1/2/4 CLIs so their
+# directory scans never disagree on what counts as a slide
+SLIDE_EXTS = (".spy", ".svs", ".tif", ".tiff", ".ndpi", ".mrxs", ".kfb",
+              ".png", ".jpg", ".jpeg")
+
+
 class _LRUSlideCache:
     """Thread-safe LRU of open slide handles (reference
     `wsi_core/LRUCacheDict.py:3` + lock at `wsi_core/__init__.py:7-8`)."""

@@ -276,3 +276,17 @@ def test_load_coords_h5_normalizes_tuple_downsample(tmp_path):
     _, _, attrs = load_coords_h5(p)
     assert attrs["downsample"] == 2.0
     assert int(attrs["patch_size"] * attrs["downsample"]) == 512
+
+
+def test_truncated_spy_raises(tmp_path, image_slide):
+    """A truncated .spy must raise OSError ('truncated or corrupt'), not
+    feed garbage dims into the C++ allocator."""
+    from acmil_tpu.wsi.native import NativeSlide, write_spy
+
+    p = str(tmp_path / "t.spy")
+    write_spy(p, [image_slide._levels[-1]])
+    data = open(p, "rb").read()
+    for cut in (6, 14, 30):
+        open(p, "wb").write(data[:cut])
+        with pytest.raises(OSError):
+            NativeSlide(p)
