@@ -73,3 +73,69 @@ def test_step1_step2_pipeline(tmp_path, slide_dir, monkeypatch):
     tr, va, te = build_hdf5_feat_dataset(h5_path, conf)
     assert te.names == ["test_slide_b"]
     assert len(tr) + len(va) == 1
+
+
+def test_step4_heatmap_script(tmp_path):
+    """Step4 end-to-end at script level: train a tiny ACMIL checkpoint,
+    write a matching synthetic slide, render heatmap overlays."""
+    import subprocess
+    import sys
+
+    import h5py
+    import yaml
+
+    from acmil_tpu.cli.train import run_training
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.h5io import write_feature_h5
+    from acmil_tpu.wsi.native import write_spy
+    from acmil_tpu.wsi.slide import ImageSlide
+    from acmil_tpu.wsi.synthetic import make_synthetic_slide_image
+    from tests.conftest import make_synthetic_bags
+
+    slides = make_synthetic_bags(n_slides=12, d=32, seed=3)
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    write_feature_h5(
+        os.path.join(data_dir, "patch_feats_pretrain_medical_ssl.h5"), slides)
+
+    conf = Config(n_class=2, D_feat=32, D_inner=16, arch="ga", n_token=2,
+                  n_masked_patch=0, mask_drop=0.0, lr=2e-3, train_epoch=1,
+                  min_bucket=64, B=1, seed=0, data_dir=data_dir,
+                  ckpt_dir=str(tmp_path / "ckpt"),
+                  log_dir=str(tmp_path / "logs"), pretrain="medical_ssl")
+    conf.extra["split_dir"] = str(tmp_path / "nosplits")
+    run_training(conf)
+
+    # one synthetic slide named after a test-split slide; coords in the
+    # fixture are random within [0, 50000) — use a big-enough image scale
+    test_name = next(n for n in slides if n.startswith("test_"))
+    img, _ = make_synthetic_slide_image(1024, 768, seed=0, tumor=True)
+    slide_dir = str(tmp_path / "slides")
+    os.makedirs(slide_dir)
+    s = ImageSlide(img)
+    write_spy(os.path.join(slide_dir, test_name + ".spy"),
+              [s._levels[i] for i in range(s.level_count)])
+
+    yml = str(tmp_path / "c.yml")
+    with open(yml, "w") as f:
+        yaml.safe_dump({"n_class": 2, "D_feat": 32, "D_inner": 16,
+                        "dataset": "camelyon", "pretrain": "medical_ssl",
+                        "data_dir": data_dir, "min_bucket": 64,
+                        "split_dir": str(tmp_path / "nosplits"),
+                        "train_epoch": 1, "B": 1, "seed": 0}, f)
+
+    out_dir = str(tmp_path / "heatmaps")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        ["/root/repo"] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    r = subprocess.run(
+        [sys.executable, "/root/repo/Step4_visualize_heatmap_camelyon.py",
+         "--config", yml, "--ckpt_dir", str(tmp_path / "ckpt"),
+         "--slide_dir", slide_dir, "--output_dir", out_dir,
+         "--patch_size", "128"],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    pngs = [f for f in os.listdir(out_dir)] if os.path.isdir(out_dir) else []
+    assert any(f.startswith(test_name) for f in pngs), (pngs, r.stdout[-500:])
