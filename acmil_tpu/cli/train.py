@@ -172,7 +172,7 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
         state = shard_params(state, mesh)
 
-    if mesh is not None and conf.extra.get("fused_train", False):
+    if mesh is not None and conf.extra.get("fused_train", True):
         # pallas_calls can't consume sharded operands; the jnp graph
         # partitions cleanly instead
         print("fused_train: disabled for mesh runs (unpartitionable kernel)")

@@ -71,7 +71,11 @@ class ACMILFamily(Family):
 
     def conf_dict(self, conf):
         d = super().conf_dict(conf)
-        d["fused"] = (bool(conf.extra.get("fused_train", False))
+        # default ON: whenever STKIM and dropout are off the deterministic
+        # forward IS the training forward, and the fused step beats the
+        # XLA graph 1.7x (BENCH_NOTES.md). `fused_train: false` opts out;
+        # the CLI force-disables it for mesh runs.
+        d["fused"] = (bool(conf.extra.get("fused_train", True))
                       and int(getattr(conf, "n_masked_patch", 0)) == 0
                       and float(conf.extra.get("droprate", 0.0)) == 0.0)
         return d
