@@ -62,17 +62,23 @@ def bench_mil_latency():
     # device, not the per-dispatch overhead of the relay tunnel (~0.3 ms
     # per jit call here, vs ~50 us on a directly-attached TPU VM — it
     # swamps a sub-0.1 ms kernel and isn't a property of the framework).
-    inner = 8
+    # inner=32 puts ~1.6 ms of device work behind each dispatch so the
+    # chained difference is device-bound, not dispatch-jitter-bound
+    # (inner=8 readings wandered 0.02-0.08 ms run to run); fori_loop
+    # keeps the HLO one-inference-sized instead of 32x unrolled
+    inner = 32
 
     @jax.jit
     def step(f):
-        slide = None
-        for _ in range(inner):
+        def body(_, carry):
+            f, _slide = carry
             sub, slide, attn = acmil_ga_infer(params, f, mask, chunk=2048)
-            f = f * (1.0 + 0.0 * slide[0])   # hard data dependency
-        return f, slide
+            return f * (1.0 + 0.0 * slide[0]), slide  # hard data dependency
 
-    sec = _chain_time(step, feats, lambda s: float(s[0]), k0=8, k1=64)
+        return jax.lax.fori_loop(0, inner, body,
+                                 (f, jnp.zeros((2,), f.dtype)))
+
+    sec = _chain_time(step, feats, lambda s: float(s[0]), k0=4, k1=32)
     ms = max(sec * 1e3 / inner, 1e-6)
     baseline_ms = 5.0
     print(json.dumps({
