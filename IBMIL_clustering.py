@@ -42,16 +42,12 @@ def main():
     # Step4 pattern): the SEED picks the frozen split, so clustering with
     # a different seed than training would collect features over the wrong
     # train set. Explicit CLI values still win.
-    from acmil_tpu.engine.checkpoint import CheckpointManager as _CM
+    from acmil_tpu.engine.checkpoint import adopt_checkpoint_config
 
-    meta_dir = args.ckpt_dir or conf.ckpt_dir
-    _meta = _CM(meta_dir)
-    if _meta.exists("best"):
-        saved = _meta.load_meta("best").get("config", {})
-        for k in ("seed", "D_feat", "D_inner", "n_class", "pretrain",
-                  "dataset", "min_bucket", "max_patches"):
-            if k in saved and getattr(args, k, None) is None:
-                setattr(conf, k, saved[k])
+    adopt_checkpoint_config(
+        conf, args.ckpt_dir or conf.ckpt_dir,
+        keys=("seed", "D_feat", "D_inner", "n_class", "pretrain",
+              "dataset", "min_bucket", "max_patches"), cli_args=args)
     set_seed(conf.seed)
 
     model, family = build_mil_model(conf)

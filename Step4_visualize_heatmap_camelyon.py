@@ -30,6 +30,7 @@ def main():
     from acmil_tpu.models import build_mil_model
     from acmil_tpu.ops.masked import masked_softmax
     from acmil_tpu.wsi import open_slide
+    from acmil_tpu.wsi.slide import SLIDE_EXTS
 
     p = argparse.ArgumentParser("Step4: attention heatmaps (TPU)")
     p.add_argument("--config", required=True)
@@ -46,13 +47,9 @@ def main():
     # the checkpoint sidecar stores the exact training config
     # (engine/checkpoint.py) — rebuild the model with it so arch
     # hyperparams (n_token, ...) match the saved params
-    ckpt_meta = CheckpointManager(args.ckpt_dir)
-    if ckpt_meta.exists("best"):
-        saved = ckpt_meta.load_meta("best").get("config", {})
-        for k in ("arch", "n_token", "n_masked_patch", "mask_drop",
-                  "D_feat", "D_inner", "n_class"):
-            if k in saved:
-                setattr(conf, k, saved[k])
+    from acmil_tpu.engine.checkpoint import adopt_checkpoint_config
+
+    adopt_checkpoint_config(conf, args.ckpt_dir)
 
     model, family = build_mil_model(conf)
     feat_path = os.path.join(conf.data_dir,
@@ -95,7 +92,6 @@ def main():
         scores = probs[:n] * n
 
         slide_path = None
-        from acmil_tpu.wsi.slide import SLIDE_EXTS
         for ext in SLIDE_EXTS:
             cand = os.path.join(args.slide_dir, name + ext)
             if os.path.exists(cand):

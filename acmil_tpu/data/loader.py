@@ -77,7 +77,8 @@ class BagLoader:
         groups = bucket_plan(lengths, self.batch_size, self.min_bucket, self.max_patches)
         if self.drop_last:
             groups = [g for g in groups if len(g) == self.batch_size]
-        if self.shuffle if shuffle is None else shuffle:
+        shuffle = self.shuffle if shuffle is None else shuffle
+        if shuffle:
             # bucketing already randomises composition within a bucket only
             # weakly; shuffle group order every epoch (within-bucket order
             # was fixed by the sort, so also shuffle members).

@@ -60,6 +60,29 @@ class CheckpointManager:
         return os.path.exists(self._path(tag))
 
 
+# the arch hyperparams a checkpoint's params were trained with — consumers
+# (Step4, predict, IBMIL clustering) must rebuild the model with these
+MODEL_CONFIG_KEYS = ("arch", "n_token", "n_masked_patch", "mask_drop",
+                     "D_feat", "D_inner", "n_class")
+
+
+def adopt_checkpoint_config(conf, ckpt_dir: str, tag: str = "best",
+                            keys=MODEL_CONFIG_KEYS, cli_args=None) -> bool:
+    """Copy saved training-config keys from a checkpoint sidecar onto
+    ``conf`` (checkpoint params only load into the model shape that
+    trained them). With ``cli_args``, keys the user set explicitly on the
+    CLI win. Returns True when a sidecar was found."""
+    mgr = CheckpointManager(ckpt_dir)
+    if not mgr.exists(tag):
+        return False
+    saved = mgr.load_meta(tag).get("config", {})
+    for k in keys:
+        if k in saved and (cli_args is None
+                           or getattr(cli_args, k, None) is None):
+            setattr(conf, k, saved[k])
+    return True
+
+
 def save_best_and_last(mgr: CheckpointManager, state, epoch: int, conf,
                        val_metrics: Dict[str, float], best: Dict[str, float]):
     """Apply the reference's selection rule; returns the updated best

@@ -40,12 +40,10 @@ def main():
     args = p.parse_args()
     conf = load_conf(args)
 
+    from acmil_tpu.engine.checkpoint import adopt_checkpoint_config
+
     ckpt = CheckpointManager(args.ckpt_dir)
-    saved = ckpt.load_meta(args.tag).get("config", {})
-    for k in ("arch", "n_token", "n_masked_patch", "mask_drop", "D_feat",
-              "D_inner", "n_class"):
-        if k in saved:
-            setattr(conf, k, saved[k])
+    adopt_checkpoint_config(conf, args.ckpt_dir, tag=args.tag)
 
     from acmil_tpu.data.bags import pad_bag
 
