@@ -267,6 +267,7 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         if best.get("epoch") == epoch and prev_best_epoch != epoch:
             best.update({f"test_{k}": v for k, v in test_m.items()})
 
+    ckpt.wait()   # commit the final async checkpoint before returning
     print("Results on best epoch:")
     print(best)
     writer.finish()
