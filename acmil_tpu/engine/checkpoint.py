@@ -24,9 +24,21 @@ class CheckpointManager:
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        # sidecars staged as .tmp until their async orbax save commits —
+        # a crash during the overlapped epoch must not leave a sidecar
+        # describing a checkpoint that never landed (ADVICE r2)
+        self._pending_meta: list = []
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.ckpt_dir, f"checkpoint-{tag}")
+
+    def _sync(self) -> None:
+        """Wait for in-flight async saves, then promote their staged
+        sidecars (rename is atomic on POSIX)."""
+        self._ckpt.wait_until_finished()
+        for tmp, final in self._pending_meta:
+            os.replace(tmp, final)
+        self._pending_meta.clear()
 
     def save(self, tag: str, state, epoch: int, conf=None,
              metrics: Optional[Dict[str, float]] = None) -> None:
@@ -34,7 +46,7 @@ class CheckpointManager:
         # must not overwrite a path with a write still in flight), but do
         # not wait for our own: serialization overlaps the next epoch's
         # compute (~1s/epoch of wall time in the 100-epoch CLI run).
-        self._ckpt.wait_until_finished()
+        self._sync()
         path = self._path(tag)
         self._ckpt.save(path, jax.device_get(state), force=True)
         meta = {"epoch": int(epoch)}
@@ -42,34 +54,37 @@ class CheckpointManager:
             meta["metrics"] = {k: float(v) for k, v in metrics.items()}
         if conf is not None:
             meta["config"] = conf.to_dict() if hasattr(conf, "to_dict") else dict(conf)
-        with open(path + ".json", "w") as f:
+        tmp = path + ".json.tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, default=str)
+        self._pending_meta.append((tmp, path + ".json"))
 
     def wait(self) -> None:
-        """Block until any in-flight async save has committed — call
-        before process exit or before another process reads the dir."""
-        self._ckpt.wait_until_finished()
+        """Block until any in-flight async save has committed (and its
+        sidecar is promoted) — call before process exit or before another
+        process reads the dir."""
+        self._sync()
 
     def restore(self, tag: str, target):
         """Restore into the structure of ``target`` (a TrainState or param
         pytree)."""
-        self._ckpt.wait_until_finished()
+        self._sync()
         return self._ckpt.restore(self._path(tag), target=jax.device_get(target))
 
     def restore_raw(self, tag: str):
         """Restore as a raw pytree dict (no target structure) — for
         cross-architecture param grafting (e.g. MHIM teacher init from a
         'pure' checkpoint)."""
-        self._ckpt.wait_until_finished()
+        self._sync()
         return self._ckpt.restore(self._path(tag))
 
     def load_meta(self, tag: str) -> Dict[str, Any]:
-        self._ckpt.wait_until_finished()
+        self._sync()
         with open(self._path(tag) + ".json") as f:
             return json.load(f)
 
     def exists(self, tag: str) -> bool:
-        self._ckpt.wait_until_finished()
+        self._sync()
         return os.path.exists(self._path(tag))
 
 

@@ -62,22 +62,23 @@ class ACMILFamily(Family):
     """(sub, slide, attn) triple; branch CE + slide CE + diversity
     (`Step3_WSI_classification_ACMIL.py:199-216`).
 
-    With ``fused_train`` on (and STKIM/dropout off, so the deterministic
-    forward IS the training forward), the GA head's forward runs the
-    fused Pallas pooling kernel with a rematerialising backward
-    (models/fast.py::acmil_ga_apply_batched)."""
+    With ``fused_train`` on, the GA head's forward runs the fused Pallas
+    pooling kernel with a fused one-pass backward
+    (models/fast.py::acmil_ga_apply_batched). STKIM applies as an O(K·k)
+    correction on the pooled output, so the paper's flagship recipe
+    (`n_token=5 n_masked_patch=10 mask_drop=0.6`) keeps the fused
+    speedup; only dropout > 0 falls back to model.apply. Mesh runs route
+    through the (data, seq)-sharded kernel."""
 
     name = "acmil"
 
     def conf_dict(self, conf):
         d = super().conf_dict(conf)
-        # default ON: whenever STKIM and dropout are off the deterministic
-        # forward IS the training forward, and the fused step beats the
-        # XLA graph 1.7x (BENCH_NOTES.md). `fused_train: false` opts out;
-        # the CLI force-disables it for mesh runs.
+        # default ON; `fused_train: false` opts out.
         d["fused"] = (bool(conf.extra.get("fused_train", True))
-                      and int(getattr(conf, "n_masked_patch", 0)) == 0
                       and float(conf.extra.get("droprate", 0.0)) == 0.0)
+        d["n_masked_patch"] = int(getattr(conf, "n_masked_patch", 0))
+        d["mask_drop"] = float(getattr(conf, "mask_drop", 0.0))
         return d
 
     @staticmethod
@@ -86,20 +87,29 @@ class ACMILFamily(Family):
 
     def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
         if self._fused_ok(params, conf_d):
-            from acmil_tpu.models.fast import acmil_ga_apply_batched
+            from acmil_tpu.models.fast import (acmil_ga_apply_batched,
+                                               derive_stkim_rng)
 
-            return acmil_ga_apply_batched(params, bag.feats, bag.mask)
+            nm, md = conf_d["n_masked_patch"], conf_d["mask_drop"]
+            srng = (derive_stkim_rng(rngs["stkim"])
+                    if nm > 0 and md > 0 else None)
+            return acmil_ga_apply_batched(
+                params, bag.feats, bag.mask, stkim_rng=srng,
+                n_masked_patch=nm, mask_drop=md, mesh=conf_d.get("mesh"))
         return super().train_outputs(apply_fn, params, bag, rngs, conf_d)
 
-    def eval_outputs(self, apply_fn, params, bag, fused: bool = True):
+    def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
+                     mesh=None):
         # eval is always deterministic (no STKIM/dropout), so the fused
-        # kernel is valid for every GA-structured param tree. ``fused=
-        # False`` keeps the plain model.apply graph — required for mesh
-        # runs, where a pallas_call cannot consume sharded operands.
+        # kernel is valid for every GA-structured param tree. With a mesh
+        # the pooling runs the shard_map'd kernel (a bare pallas_call
+        # cannot consume sharded operands); ``fused=False`` keeps the
+        # plain model.apply graph.
         if fused and "AttentionGated_0" in params:
             from acmil_tpu.models.fast import acmil_ga_apply_batched
 
-            return acmil_ga_apply_batched(params, bag.feats, bag.mask)
+            return acmil_ga_apply_batched(params, bag.feats, bag.mask,
+                                          mesh=mesh)
         return super().eval_outputs(apply_fn, params, bag)
 
     def loss(self, outputs, bag, valid, conf_d):

@@ -114,17 +114,25 @@ def _make_step_body(fam, conf_d, use_sam: bool, sam_rho: float) -> Callable:
     return body
 
 
-def make_train_step(model, conf, family="acmil") -> Callable:
+def _conf_dict(fam, conf, mesh=None):
+    """Family conf_dict + the (static, closure-captured) mesh for families
+    that route pooling through the shard_map'd fused kernel."""
+    d = fam.conf_dict(conf)
+    d["mesh"] = mesh
+    return d
+
+
+def make_train_step(model, conf, family="acmil", mesh=None) -> Callable:
     fam = _resolve_family(family)
     if hasattr(fam, "make_train_step"):
         return fam.make_train_step(model, conf)
-    body = _make_step_body(fam, fam.conf_dict(conf),
+    body = _make_step_body(fam, _conf_dict(fam, conf, mesh),
                            bool(getattr(conf, "use_sam", False)),
                            float(getattr(conf, "sam_rho", 0.05)))
     return jax.jit(body)
 
 
-def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
+def make_scan_train_step(model, conf, family="acmil", mesh=None) -> Optional[Callable]:
     """Whole same-shape groups of bags in ONE dispatch via ``lax.scan``.
 
     Per-bag dispatch through a relay-attached chip costs ~3 ms — more
@@ -147,7 +155,7 @@ def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
     elif hasattr(fam, "make_train_step"):
         return None
     else:
-        body = _make_step_body(fam, fam.conf_dict(conf),
+        body = _make_step_body(fam, _conf_dict(fam, conf, mesh),
                                bool(getattr(conf, "use_sam", False)),
                                float(getattr(conf, "sam_rho", 0.05)))
 
@@ -166,21 +174,26 @@ def make_scan_train_step(model, conf, family="acmil") -> Optional[Callable]:
     return scan_steps
 
 
-def _eval_outputs_fn(fam, fused: bool) -> Callable:
-    """Bind the family's eval_outputs, passing ``fused`` only to families
-    that take it (ACMIL's GA reroute; pallas_calls can't consume sharded
-    operands, so mesh runs pass fused=False)."""
+def _eval_outputs_fn(fam, fused: bool, mesh=None) -> Callable:
+    """Bind the family's eval_outputs, passing ``fused``/``mesh`` only to
+    families that take them (ACMIL's GA reroute: mesh runs go through the
+    shard_map'd fused kernel)."""
     import inspect
 
-    if "fused" in inspect.signature(fam.eval_outputs).parameters:
+    params = inspect.signature(fam.eval_outputs).parameters
+    if "fused" in params:
+        kw = {"fused": fused}
+        if "mesh" in params:
+            kw["mesh"] = mesh
         return lambda apply_fn, params, bag: fam.eval_outputs(
-            apply_fn, params, bag, fused=fused)
+            apply_fn, params, bag, **kw)
     return fam.eval_outputs
 
 
-def make_eval_step(model, family="default", fused: bool = True) -> Callable:
+def make_eval_step(model, family="default", fused: bool = True,
+                   mesh=None) -> Callable:
     fam = _resolve_family(family)
-    eval_outputs = _eval_outputs_fn(fam, fused)
+    eval_outputs = _eval_outputs_fn(fam, fused, mesh)
 
     @jax.jit
     def step(params, bag: Bag):
@@ -190,11 +203,12 @@ def make_eval_step(model, family="default", fused: bool = True) -> Callable:
     return step
 
 
-def make_scan_eval_step(model, family="default", fused: bool = True) -> Callable:
+def make_scan_eval_step(model, family="default", fused: bool = True,
+                        mesh=None) -> Callable:
     """Eval counterpart of :func:`make_scan_train_step`: probabilities for
     a whole stacked shape group in one dispatch, ``[k, B, C]``."""
     fam = _resolve_family(family)
-    eval_outputs = _eval_outputs_fn(fam, fused)
+    eval_outputs = _eval_outputs_fn(fam, fused, mesh)
 
     @jax.jit
     def scan_eval(params, stacked: Bag):

@@ -55,13 +55,22 @@ def _acmil_mha(conf):
     )
 
 
-def build_mil_model(conf):
-    """Returns (model, loss_family) for ``conf.arch``."""
+def build_mil_model(conf, mesh=None):
+    """Returns (model, loss_family) for ``conf.arch``.
+
+    ``mesh`` is forwarded to builders that accept it (heads with
+    shard_map'd internals, e.g. TransMIL's seq-sharded Nystrom); heads
+    without an internal mesh path rely on jit sharding propagation and
+    ignore it."""
     # Late imports keep optional heads from slowing basic import.
     _ensure_registered()
     if conf.arch not in _REGISTRY:
         raise ValueError(f"unknown arch {conf.arch!r}; have {sorted(_REGISTRY)}")
     builder, family = _REGISTRY[conf.arch]
+    import inspect
+
+    if mesh is not None and "mesh" in inspect.signature(builder).parameters:
+        return builder(conf, mesh=mesh), family
     return builder(conf), family
 
 

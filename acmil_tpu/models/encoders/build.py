@@ -193,14 +193,14 @@ def _shard_batch(run, mesh, data_axis: str = "data"):
     multi-chip extraction shard_maps the whole per-batch computation over
     the batch axis (embarrassingly parallel — no collectives; SURVEY §7
     step 5). The batch is padded up to a multiple of the mesh size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape[data_axis]
     sharded = jax.jit(shard_map(
         run, mesh=mesh,
         in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
-        check_rep=False))
+        check_vma=False))
 
     def wrapped(params, images):
         b = images.shape[0]
@@ -236,32 +236,30 @@ def encoder_feature_fn(model, variables, spec: EncoderSpec, fast: bool = True,
     """
 
     enc = model.encoder
-    if (fast and isinstance(enc, ViT) and enc.act == "gelu"
-            and not enc.layerscale and not enc.pre_norm
-            and enc.proj_dim is None):
-        from acmil_tpu.ops.vit_layer import fits_vmem
+    if fast and isinstance(enc, ViT):
+        # every ViT trunk routes through the tiered fast path
+        # (encoders/fast.py): whole-layer fusion (ViT-S), attn-half
+        # fusion + XLA MLP (ViT-B / UNI), packed-MHA XLA layer
+        # (CLIP-L / GigaPath)
+        from acmil_tpu.models.encoders.fast import vit_encode
 
-        n_tok = (spec.img_size // enc.patch) ** 2 + 1
-        n_pad = (n_tok + 15) // 16 * 16  # matches ops/vit_layer.py padding
-        if fits_vmem(enc.dim, int(enc.dim * enc.mlp_ratio), n_pad, enc.heads):
-            from acmil_tpu.models.encoders.fast import vit_encode
+        enc_params = _device_put_arrays(variables["params"]["encoder"])
 
-            enc_params = _device_put_arrays(
-                variables["params"]["encoder"])
+        def run(params, images_u8):
+            x = preprocess(images_u8, spec, dtype=enc.dtype)
+            return vit_encode(params, x, patch=enc.patch,
+                              depth=enc.depth, heads=enc.heads,
+                              dtype=enc.dtype, act=enc.act,
+                              pre_norm=enc.pre_norm,
+                              proj_dim=enc.proj_dim).astype(out_dtype)
 
-            def run(params, images_u8):
-                x = preprocess(images_u8, spec, dtype=enc.dtype)
-                return vit_encode(params, x, patch=enc.patch,
-                                  depth=enc.depth, heads=enc.heads,
-                                  dtype=enc.dtype).astype(out_dtype)
+        run = (_shard_batch(run, mesh) if mesh is not None
+               else jax.jit(run))
 
-            run = (_shard_batch(run, mesh) if mesh is not None
-                   else jax.jit(run))
+        def feat_fn(images_u8):
+            return run(enc_params, jnp.asarray(images_u8))
 
-            def feat_fn(images_u8):
-                return run(enc_params, jnp.asarray(images_u8))
-
-            return feat_fn
+        return feat_fn
 
     dev_vars = _device_put_arrays(variables)
     dtype = getattr(enc, "dtype", jnp.float32)

@@ -7,9 +7,26 @@ conversion. Used by Step4 heatmaps and `bench.py`.
 
 from __future__ import annotations
 
+import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from acmil_tpu.ops.attn_pool import fused_gated_attn_pool
+
+
+class _StkimRngProbe(nn.Module):
+    """Replays flax's rng derivation for `ACMIL_GA`'s `make_rng("stkim")`:
+    a root-scope compact module drawing the stream once derives the same
+    key for a given apply-level stream key. Used so the fused train path
+    makes bit-identical STKIM drop decisions to `model.apply`."""
+
+    @nn.compact
+    def __call__(self):
+        return self.make_rng("stkim")
+
+
+def derive_stkim_rng(rng):
+    return _StkimRngProbe().apply({}, rngs={"stkim": rng})
 
 
 def _ga_weights(params):
@@ -55,22 +72,85 @@ def abmil_infer(params, feats, mask, chunk: int = 1024,
     return bag[0] @ cls["kernel"] + cls["bias"], logits
 
 
-def acmil_ga_apply_batched(params, feats, mask, chunk: int = 1024):
-    """Differentiable fused ACMIL_GA forward (batched, no STKIM).
+def _stkim_correct(bag, logits, feats, mask, w1, rng, n_masked_patch,
+                   mask_drop):
+    """Apply STKIM to an already-pooled bag as an O(K·k) correction.
 
-    Matches ``ACMIL_GA.__call__`` with ``deterministic=True`` on the same
-    param tree: the pooling runs the Pallas kernel (one HBM pass over
-    ``feats``), the backward rematerialises through the jnp graph
-    (ops/attn_pool.py::gated_attn_pool_grad). Used by the ACMIL family's
-    fused train/eval step when STKIM and dropout are off (the reference's
-    ABMIL configuration, `README.md:51-54`).
+    The fused kernel pools with the FULL softmax and emits the raw logit
+    matrix ``[B, K, N]``. STKIM (`transformer.py:311-320`) drops a random
+    subset of each branch's top-k logits — at most ``k = n_masked_patch``
+    positions per branch — so the post-drop pooled feature is the full
+    one minus the dropped terms, renormalised:
+
+        bag' = (Σ_valid e_n h_n − Σ_dropped e_n h_n) / Σ_kept e_n
+
+    with everything in a fresh max-stabilised domain. Only the ≤K·k
+    dropped rows of ``h`` are recomputed (one tiny gather + matmul); the
+    denominator is computed exactly from the emitted logits, so the only
+    cancellation-sensitive term is the numerator subtraction — bounded
+    because gated-attention logits are bounded (|a| ≤ ‖w‖₁ via tanh·σ).
+
+    Returns (bag' [B,K,L], post-drop logits [B,K,N] — the model's
+    ``A_out`` with NEG_INF at dropped positions).
     """
-    from acmil_tpu.ops.attn_pool import gated_attn_pool_grad
+    from acmil_tpu.ops.masked import NEG_INF, stkim_drop
+
+    drop, topk_idx = stkim_drop(rng, logits, n_masked_patch, mask_drop,
+                                mask[:, None, :])
+    if drop is None:
+        return bag, logits
+    a_drop = jnp.where(drop, jnp.asarray(NEG_INF, logits.dtype), logits)
+    keep = mask[:, None, :] & jnp.logical_not(drop)          # [B, K, N]
+    m2 = jax.lax.stop_gradient(jnp.max(a_drop, axis=-1, keepdims=True))
+    e2 = jnp.exp(a_drop - m2) * keep.astype(logits.dtype)
+    z2 = jnp.sum(e2, axis=-1)                                # [B, K] exact
+    lse_full = jax.nn.logsumexp(
+        jnp.where(mask[:, None, :], logits, NEG_INF), axis=-1, keepdims=True)
+    scale = jnp.exp(jnp.minimum(lse_full - m2, 80.0))        # [B, K, 1]
+    num = bag * scale                                        # Σ_valid e·h
+    # subtract the dropped terms: gather ≤k rows per branch, recompute h
+    dflag = jnp.take_along_axis(drop, topk_idx, axis=-1)     # [B, K, k]
+    a_top = jnp.take_along_axis(logits, topk_idx, axis=-1)
+    e_top = jnp.exp(jnp.minimum(a_top - m2, 80.0)) * dflag.astype(logits.dtype)
+    x_top = jax.vmap(lambda f, i: f[i])(feats, topk_idx)     # [B, K, k, Df]
+    h_top = jnp.maximum(x_top.astype(w1.dtype) @ w1, 0.0)    # [B, K, k, L]
+    num = num - jnp.einsum("bkt,bktl->bkl", e_top, h_top)
+    bag2 = num / jnp.maximum(z2[..., None], 1e-12)
+    return bag2, a_drop
+
+
+def acmil_ga_apply_batched(params, feats, mask, chunk: int = 1024,
+                           stkim_rng=None, n_masked_patch: int = 0,
+                           mask_drop: float = 0.0, mesh=None):
+    """Differentiable fused ACMIL_GA forward (batched).
+
+    Matches ``ACMIL_GA.__call__`` on the same param tree: the pooling
+    runs the Pallas kernel (one HBM pass over ``feats``) with a fused
+    one-pass backward (ops/attn_pool.py::gated_attn_pool_grad). With
+    ``stkim_rng`` set (training, `n_token/n_masked_patch/mask_drop` per
+    `README.md:55-58`), STKIM applies as an O(K·k) correction on the
+    pooled output (:func:`_stkim_correct`) — the flagship recipe keeps
+    the full fused-kernel speedup. With ``mesh`` set the pooling runs
+    the (data, seq)-sharded kernel with the flash merge
+    (ops/attn_pool.py::sharded_gated_attn_pool_grad).
+
+    ``stkim_rng`` must be the flax-derived key (:func:`derive_stkim_rng`)
+    so drop decisions match ``model.apply`` bit-for-bit.
+    """
+    from acmil_tpu.ops.attn_pool import (gated_attn_pool_grad,
+                                         sharded_gated_attn_pool_grad)
 
     dr, v, bv, u, bu, w, bw = _ga_weights(params)
     feats = feats.astype(dr.dtype)
-    bag, logits = gated_attn_pool_grad(feats, mask, dr, v, bv, u, bu, w, bw,
-                                       chunk)
+    if mesh is not None:
+        bag, logits = sharded_gated_attn_pool_grad(
+            feats, mask, dr, v, bv, u, bu, w, bw, mesh, chunk)
+    else:
+        bag, logits = gated_attn_pool_grad(feats, mask, dr, v, bv, u, bu, w,
+                                           bw, chunk)
+    if stkim_rng is not None and n_masked_patch > 0 and mask_drop > 0:
+        bag, logits = _stkim_correct(bag, logits, feats, mask, dr,
+                                     stkim_rng, n_masked_patch, mask_drop)
     sub = jnp.einsum("bkl,klc->bkc", bag, params["branch_w"]) + params["branch_b"]
     bag_mean = bag.mean(axis=1)   # == pooling with branch-mean attention
     cls = params["Classifier1fc_0"]["Dense_0"]

@@ -18,12 +18,16 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
-from acmil_tpu.ops.nystrom import depthwise_seq_conv, nystrom_attention
+from acmil_tpu.ops.nystrom import (depthwise_seq_conv, nystrom_attention,
+                                   sharded_depthwise_seq_conv,
+                                   sharded_nystrom_attention)
 
 
 class NystromAttention(nn.Module):
@@ -39,6 +43,16 @@ class NystromAttention(nn.Module):
     residual_conv_kernel: int = 33
     droprate: float = 0.0
     dtype: jnp.dtype = jnp.float32   # bf16: ~2x faster inference
+    # (data, seq) mesh: route through the seq-sharded Nystrom core +
+    # halo-exchange conv residual (ops/nystrom.py:140,254) instead of
+    # relying on jit sharding propagation (which would all-gather the
+    # full sequence around the landmark softmaxes)
+    mesh: Any = None
+    # strict reference semantics: the pip nystrom-attention package pads
+    # the sequence front with UNMASKED zero rows (it is never given a
+    # mask, `nystrom_attention.py:73-79`) — those rows attend as real.
+    # Default False keeps the mask-correct TPU behaviour.
+    strict_pad: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -53,10 +67,11 @@ class NystromAttention(nn.Module):
         pad = (-n) % m
         if pad:
             x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-            if mask is not None:
-                mask = jnp.pad(mask, ((0, 0), (pad, 0)))
-            else:
-                mask = jnp.pad(jnp.ones((b, n), bool), ((0, 0), (pad, 0)))
+            pad_valid = bool(self.strict_pad)
+            if mask is None:
+                mask = jnp.ones((b, n), bool)
+            mask = jnp.pad(mask, ((0, 0), (pad, 0)),
+                           constant_values=pad_valid)
 
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -68,9 +83,18 @@ class NystromAttention(nn.Module):
         k = heads_first(k)
         v = heads_first(v)
 
-        out, attn_rows = nystrom_attention(
-            q, k, v, mask, m, self.pinv_iterations,
-            return_attn_rows=return_attn_rows, attn_row_offset=pad)
+        use_sharded = (self.mesh is not None
+                       and int(self.mesh.shape.get("seq", 1)) > 1
+                       and not return_attn_rows)
+        if use_sharded:
+            out = sharded_nystrom_attention(
+                q, k, v, mask, self.mesh, m,
+                pinv_iterations=self.pinv_iterations, data_axis="data")
+            attn_rows = None
+        else:
+            out, attn_rows = nystrom_attention(
+                q, k, v, mask, m, self.pinv_iterations,
+                return_attn_rows=return_attn_rows, attn_row_offset=pad)
 
         if self.residual:
             w = self.param("res_conv", nn.initializers.lecun_normal(),
@@ -79,7 +103,11 @@ class NystromAttention(nn.Module):
             # trained (LN bias through the bias-free qkv Dense), and the
             # 33-wide conv would mix those constants into valid neighbours
             v_in = v if mask is None else v * mask[:, None, :, None].astype(v.dtype)
-            out = out + depthwise_seq_conv(v_in, w)
+            if use_sharded:
+                out = out + sharded_depthwise_seq_conv(v_in, w, self.mesh,
+                                                       data_axis="data")
+            else:
+                out = out + depthwise_seq_conv(v_in, w)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
         out = nn.Dense(self.dim, dtype=self.dtype)(out).astype(jnp.float32)
@@ -95,6 +123,8 @@ class TransLayer(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    mesh: Any = None
+    strict_pad: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -102,7 +132,8 @@ class TransLayer(nn.Module):
         attn = NystromAttention(
             dim=self.dim, dim_head=self.dim // 8, heads=8,
             num_landmarks=self.dim // 2, pinv_iterations=6,
-            residual=True, droprate=0.1, dtype=self.dtype)
+            residual=True, droprate=0.1, dtype=self.dtype, mesh=self.mesh,
+            strict_pad=self.strict_pad)
         y = nn.LayerNorm()(x)
         if return_attn_rows:
             y, rows = attn(y, mask, deterministic, return_attn_rows)
@@ -124,13 +155,18 @@ class PPEG(nn.Module):
         img = feat.transpose(0, 2, 1).reshape(b, c, grid_h, grid_w)
 
         def dwconv(t, ksize, name):
+            # bias included: the reference's nn.Conv2d defaults
+            # (`transMIL.py:33-35`); TransMIL rezeros masked slots after
+            # PPEG so the bias cannot leak into padded positions
             w = self.param(name, nn.initializers.lecun_normal(),
                            (c, 1, ksize, ksize))
-            return jax.lax.conv_general_dilated(
+            bias = self.param(name + "_b", nn.initializers.zeros, (c,))
+            out = jax.lax.conv_general_dilated(
                 t, w.astype(t.dtype), (1, 1),
                 ((ksize // 2, ksize // 2), (ksize // 2, ksize // 2)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 feature_group_count=c)
+            return out + bias[None, :, None, None]
 
         img = img + dwconv(img, 7, "proj7") + dwconv(img, 5, "proj5") \
             + dwconv(img, 3, "proj3")
@@ -149,9 +185,23 @@ def _grid_shape(n: int):
 
 
 class TransMIL(nn.Module):
+    """``pad_mode``:
+
+    - ``"zero"`` (default): pad the grid with masked zero slots — the
+      deliberate TPU-first fix (duplicated patches do not attend);
+    - ``"wrap"``: the reference's exact semantics
+      (`transMIL.py:63-66`): fill the grid by repeating the leading
+      valid patches and treat the copies as REAL (they attend and are
+      attended to). Strict-parity mode — enables whole-model torch
+      parity and quantifying the zero-vs-wrap accuracy delta
+      (VERDICT r2 item 8).
+    """
+
     n_class: int
     d_inner: int = 512
     dtype: jnp.dtype = jnp.float32
+    mesh: Any = None
+    pad_mode: str = "zero"
 
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True,
@@ -161,12 +211,24 @@ class TransMIL(nn.Module):
         h = h.astype(jnp.float32)
         gh, gw = _grid_shape(n)
         grid_n = gh * gw
-        if grid_n > n:  # pad to fill the grid (masked slots)
-            h = jnp.pad(h, ((0, 0), (0, grid_n - n), (0, 0)))
-            mask = jnp.pad(mask if mask is not None else jnp.ones((b, n), bool),
-                           ((0, 0), (0, grid_n - n)))
-        if mask is not None:
-            h = h * mask[..., None].astype(h.dtype)
+        if self.pad_mode == "wrap":
+            # collated bags are valid-prefix (bucketed padding appends),
+            # so wrapping indices modulo the valid count duplicates the
+            # LEADING valid patches, like the reference's torch.cat
+            nv = (mask.sum(-1).astype(jnp.int32) if mask is not None
+                  else jnp.full((b,), n, jnp.int32))
+            nv = jnp.maximum(nv, 1)
+            idx = jnp.arange(grid_n)[None, :] % nv[:, None]      # [B, grid]
+            h = jnp.take_along_axis(h, idx[..., None], axis=1)
+            mask = jnp.ones((b, grid_n), bool)
+        else:
+            if grid_n > n:  # pad to fill the grid (masked slots)
+                h = jnp.pad(h, ((0, 0), (0, grid_n - n), (0, 0)))
+                mask = jnp.pad(
+                    mask if mask is not None else jnp.ones((b, n), bool),
+                    ((0, 0), (0, grid_n - n)))
+            if mask is not None:
+                h = h * mask[..., None].astype(h.dtype)
 
         cls_tok = self.param("cls_token", nn.initializers.normal(1.0),
                              (1, 1, self.d_inner))
@@ -180,15 +242,16 @@ class TransMIL(nn.Module):
         def rezero(t):
             return t * full_mask[..., None].astype(t.dtype) if full_mask is not None else t
 
-        h = rezero(TransLayer(self.d_inner, self.dtype)(h, full_mask,
-                                                        deterministic))
+        strict = self.pad_mode == "wrap"
+        h = rezero(TransLayer(self.d_inner, self.dtype, self.mesh, strict)(
+            h, full_mask, deterministic))
         h = rezero(PPEG(self.d_inner)(h, gh, gw))
         if return_attn:
-            h, rows = TransLayer(self.d_inner, self.dtype)(
+            h, rows = TransLayer(self.d_inner, self.dtype, self.mesh, strict)(
                 h, full_mask, deterministic, return_attn_rows=1)
         else:
-            h = TransLayer(self.d_inner, self.dtype)(h, full_mask,
-                                                     deterministic)
+            h = TransLayer(self.d_inner, self.dtype, self.mesh, strict)(
+                h, full_mask, deterministic)
         cls_out = nn.LayerNorm()(h[:, 0])
         logits = nn.Dense(self.n_class)(cls_out)
         if return_attn:
@@ -198,9 +261,11 @@ class TransMIL(nn.Module):
 
 
 @register_model("transmil")
-def _transmil(conf):
+def _transmil(conf, mesh=None):
     import jax.numpy as _jnp
 
     dt = _jnp.bfloat16 if str(getattr(conf, "compute_dtype", "float32")) == "bfloat16" \
         else _jnp.float32
-    return TransMIL(n_class=conf.n_class, d_inner=conf.D_inner, dtype=dt)
+    return TransMIL(n_class=conf.n_class, d_inner=conf.D_inner, dtype=dt,
+                    mesh=mesh,
+                    pad_mode=str(getattr(conf, "transmil_pad_mode", "zero")))

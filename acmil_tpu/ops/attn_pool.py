@@ -18,9 +18,14 @@ in VMEM — the op is HBM-bound, so this is the speed-of-light formulation.
 The raw (pre-softmax) attention logits are also emitted per chunk for
 heatmaps (Step4) and downstream analysis.
 
-Training keeps the jnp path (XLA handles the backward well; STKIM needs
-the full logit matrix anyway); this kernel is the deterministic inference
-path, exposed through :func:`acmil_tpu.models.fast.acmil_ga_infer`.
+Training runs the same kernel through :func:`gated_attn_pool_grad`
+(custom_vjp with the one-pass fused backward below) — single device or,
+via :func:`sharded_gated_attn_pool_grad`, sharded over a (data, seq)
+mesh with the flash merge rule and globally-corrected backward stats.
+STKIM training reuses the emitted logit matrix: the drop correction is
+O(K·n_masked_patch) on top of one kernel pass
+(models/fast.py::acmil_ga_apply_batched). Inference is exposed through
+:func:`acmil_tpu.models.fast.acmil_ga_infer`.
 """
 
 from __future__ import annotations
@@ -308,6 +313,26 @@ def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
 def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
                     bag, logits, d_bag, d_logits,
                     chunk: int = 1024, interpret: bool = False):
+    # closed forms for the cross-chunk couplings (see _bwd_kernel doc)
+    masked_logits = jnp.where(mask[:, None, :], logits, NEG)
+    lse = jax.nn.logsumexp(masked_logits, axis=2)             # [B, K]
+    c = jnp.sum(d_bag * bag, axis=2)                          # [B, K]
+    return _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
+                                 lse, c, d_bag, d_logits,
+                                 chunk=chunk, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
+                          lse, c, d_bag, d_logits,
+                          chunk: int = 1024, interpret: bool = False):
+    """Backward pass with the softmax couplings supplied externally.
+
+    ``lse``/``c`` are per-(bag, branch) scalars ``[B, K]``: the softmax
+    log-normaliser and ``sum_l d_bag·bag``. A seq-sharded caller passes
+    GLOBAL values so each shard's kernel pass reconstructs the global
+    softmax restricted to its local rows (weight grads come back as
+    partial sums to be psum'd)."""
     b, n, df = feats.shape
     l = w1.shape[1]
     a_dim = v.shape[1]
@@ -315,10 +340,6 @@ def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
     k_pad = 128
     chunk = min(chunk, n)
 
-    # closed forms for the cross-chunk couplings (see _bwd_kernel doc)
-    masked_logits = jnp.where(mask[:, None, :], logits, NEG)
-    lse = jax.nn.logsumexp(masked_logits, axis=2)             # [B, K]
-    c = jnp.sum(d_bag * bag, axis=2)                          # [B, K]
     # padded-K lanes: lse=0 with zero d_bag/d_logits keeps their grads 0
     pad_k = lambda t: jnp.zeros((b, 1, k_pad), jnp.float32).at[:, 0, :k].set(t)
     lse_p, c_p = pad_k(lse), pad_k(c)
@@ -437,40 +458,36 @@ gated_attn_pool_grad.defvjp(_gap_fwd, _gap_bwd)
 # Sequence-sharded pooling: distributed online softmax over the patch axis
 # ---------------------------------------------------------------------------
 
-def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
-                            seq_axis: str = "seq", chunk: int = 1024):
-    """Fused pooling for mega-bags sharded along the patch axis.
-
-    Each device runs the streaming kernel on its local shard, then the
-    shards combine with the flash-attention merge rule over ICI:
-
-        m* = pmax(m_i);  w_i = s_i * exp(m_i - m*)
-        bag = psum(bag_i * w_i) / psum(w_i)
-
-    — O(K*(L+1)) bytes of collective traffic per bag, independent of N.
-    This is the TPU-native replacement for the reference's algorithmic
-    long-bag workarounds (SURVEY §5.7): nothing is approximated, the
-    result equals the single-device kernel bit-for-bit up to f32
-    summation order. Empty shards (all-masked) contribute w_i = 0.
-
-    feats [B, N, Df] / mask [B, N] must be sharded ``P(None, seq_axis)``;
-    weights replicated. Returns (bag [B, K, L] replicated,
-    attn_logits [B, K, N] sharded along ``seq_axis``).
-    """
-    from functools import partial
-
-    from jax.experimental.shard_map import shard_map
+def _shard_specs(data_axis, seq_axis):
+    """(in_specs, out_specs) for the sharded pooling shard_maps."""
     from jax.sharding import PartitionSpec as P
 
+    w_specs = (P(None, None), P(None, None), P(None),
+               P(None, None), P(None), P(None, None), P(None))
+    return P, w_specs
+
+
+def _sharded_pool_fwd_impl(feats, mask, w1, v, bv, u, bu, w, bw,
+                           mesh, chunk, data_axis, seq_axis):
+    """shard_map'd forward: per-shard kernel + flash merge over ``seq``.
+
+    Returns (bag [B,K,L] replicated over seq / sharded over data,
+    logits [B,K,N] sharded over data+seq, lse [B,K] — the GLOBAL
+    softmax log-normaliser, needed by the sharded backward)."""
+    from functools import partial
+
+    from jax import shard_map
+
+    P, w_specs = _shard_specs(data_axis, seq_axis)
     interp = jax.default_backend() != "tpu"
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, seq_axis, None), P(None, seq_axis),
-                  *(P(None, None) for _ in range(2)), P(None),
-                  P(None, None), P(None), P(None, None), P(None)),
-        out_specs=(P(None, None, None), P(None, None, seq_axis)),
-        check_rep=False,
+        in_specs=(P(data_axis, seq_axis, None), P(data_axis, seq_axis),
+                  *w_specs),
+        out_specs=(P(data_axis, None, None), P(data_axis, None, seq_axis),
+                   P(data_axis, None)),
+        check_vma=False,
     )
     def run(feats, mask, w1, v, bv, u, bu, w, bw):
         bag, logits, m, s = fused_gated_attn_pool_batched(
@@ -480,6 +497,103 @@ def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
         wgt = s * jnp.exp(m - m_star)                    # [B, K]
         acc = jax.lax.psum(bag * wgt[..., None], seq_axis)
         denom = jax.lax.psum(wgt, seq_axis)
-        return acc / jnp.maximum(denom[..., None], 1e-12), logits
+        bag_g = acc / jnp.maximum(denom[..., None], 1e-12)
+        lse = m_star + jnp.log(jnp.maximum(denom, 1e-30))
+        return bag_g, logits, lse
 
     return run(feats, mask, w1, v, bv, u, bu, w, bw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def sharded_gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
+                                 mesh, chunk: int = 1024,
+                                 data_axis: str = "data",
+                                 seq_axis: str = "seq"):
+    """Differentiable fused pooling over a (data, seq) mesh.
+
+    Forward: each device runs the streaming kernel on its local shard of
+    ``feats [B, N, Df]`` (batch sharded over ``data``, patch axis over
+    ``seq``), then seq-shards combine with the flash-attention merge rule
+    over ICI:
+
+        m* = pmax(m_i);  w_i = s_i * exp(m_i - m*)
+        bag = psum(bag_i * w_i) / psum(w_i)
+
+    — O(K*(L+1)) bytes of collective traffic per bag, independent of N.
+    Nothing is approximated: the result equals the single-device kernel
+    up to f32 summation order. Empty shards contribute w_i = 0.
+
+    Backward: each shard runs the fused one-pass backward kernel with the
+    GLOBAL softmax stats (lse from the merged forward, c = Σ d_bag·bag),
+    so its local rows see the exact global softmax; weight grads psum
+    over both mesh axes (the explicit version of the all-reduce jit
+    would insert for replicated params), feature grads stay sharded.
+
+    This is the mesh train/eval path for GA-structured heads — the
+    reference has no distributed training at all (SURVEY §2.7).
+
+    Returns (bag [B, K, L] replicated over seq, attn_logits [B, K, N]
+    sharded over seq). Weights must be replicated.
+    """
+    bag, logits, _lse = _sharded_pool_fwd_impl(
+        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis, seq_axis)
+    return bag, logits
+
+
+def _sgap_fwd(feats, mask, w1, v, bv, u, bu, w, bw,
+              mesh, chunk, data_axis, seq_axis):
+    bag, logits, lse = _sharded_pool_fwd_impl(
+        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis, seq_axis)
+    return (bag, logits), (feats, mask, w1, v, bv, u, bu, w, bw, bag,
+                           logits, lse)
+
+
+def _sgap_bwd(mesh, chunk, data_axis, seq_axis, res, g):
+    from functools import partial
+
+    from jax import shard_map
+
+    feats, mask, w1, v, bv, u, bu, w, bw, bag, logits, lse = res
+    d_bag, d_logits = g
+    d_bag = d_bag.astype(jnp.float32)
+    d_logits = d_logits.astype(jnp.float32)
+    c = jnp.sum(d_bag * bag, axis=2)                     # [B, K] global
+    P, w_specs = _shard_specs(data_axis, seq_axis)
+    interp = jax.default_backend() != "tpu"
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(data_axis, seq_axis, None), P(data_axis, seq_axis),
+                  *w_specs,
+                  P(data_axis, None), P(data_axis, None),
+                  P(data_axis, None, None), P(data_axis, None, seq_axis)),
+        out_specs=(P(data_axis, seq_axis, None),
+                   *(P(*(None,) * nd) for nd in (2, 2, 1, 2, 1, 2, 1))),
+        check_vma=False,
+    )
+    def run(feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits):
+        outs = _fused_pool_bwd_stats(
+            feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits,
+            chunk=chunk, interpret=interp)
+        d_feats, dw1, dv, dbv, du, dbu, dw, dbw = outs
+        # weight grads are partial (local batch rows x local patch rows):
+        # the cross-shard sum IS the gradient all-reduce
+        ps = lambda t: jax.lax.psum(t, (data_axis, seq_axis))
+        return (d_feats, ps(dw1), ps(dv), ps(dbv), ps(du), ps(dbu),
+                ps(dw), ps(dbw))
+
+    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = run(
+        feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits)
+    return (d_feats.astype(feats.dtype), None, dw1, dv, dbv, du, dbu, dw, dbw)
+
+
+sharded_gated_attn_pool_grad.defvjp(_sgap_fwd, _sgap_bwd)
+
+
+def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
+                            seq_axis: str = "seq", chunk: int = 1024):
+    """Non-differentiable alias of :func:`sharded_gated_attn_pool_grad`
+    (kept for inference callers; see its docstring for the merge rule)."""
+    bag, logits, _ = _sharded_pool_fwd_impl(
+        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, "data", seq_axis)
+    return bag, logits

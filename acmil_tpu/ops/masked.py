@@ -97,12 +97,38 @@ def stkim_mask(
 
     Returns logits of the same shape with dropped positions = NEG_INF.
     """
+    drop, _ = stkim_drop(rng, attn_logits, n_masked_patch, mask_drop, mask)
+    if drop is None:
+        return attn_logits
+    return masked_fill(attn_logits, jnp.logical_not(drop))
+
+
+def stkim_drop(
+    rng: jax.Array,
+    attn_logits: jnp.ndarray,
+    n_masked_patch: int,
+    mask_drop: float,
+    mask: jnp.ndarray | None = None,
+):
+    """The STKIM selection itself: ``(drop, topk_idx)``.
+
+    ``drop`` is a ``[..., K, N]`` bool mask of positions to fill with
+    NEG_INF (or None when STKIM is a no-op), ``topk_idx`` the
+    ``[..., K, k]`` indices of the per-branch top-k candidates. Exposed
+    separately so the fused train path (models/fast.py) can apply the
+    drop as an O(K·k) correction on the pooled output instead of
+    re-running the softmax over N.
+    """
     n = attn_logits.shape[-1]
     k = min(n_masked_patch, n)
     n_drop_max = int(k * mask_drop)
     if k <= 0 or n_drop_max <= 0:
-        return attn_logits
-    topk = masked_topk_mask(attn_logits, k, mask)  # [..., K, N] bool
+        return None, None
+    scores = attn_logits if mask is None else masked_fill(attn_logits, mask)
+    _, topk_idx = jax.lax.top_k(jax.lax.stop_gradient(scores), k)
+    topk = jnp.any(jax.nn.one_hot(topk_idx, n, dtype=jnp.bool_), axis=-2)
+    if mask is not None:
+        topk = jnp.logical_and(topk, mask)
     # The reference clamps k by the REAL bag length (`transformer.py:313`:
     # n_masked_patch = min(conf, n)); with padded bags the clamp must use
     # the per-bag valid count, or a bag with n_valid < k drops
@@ -125,7 +151,7 @@ def stkim_mask(
     idx = jnp.clip(n_drop - 1, 0, n_drop_max - 1)[..., None]
     threshold = jnp.take_along_axis(smallest, idx, axis=-1)  # [..., 1]
     drop = topk & (-u >= threshold) & (n_drop[..., None] > 0)
-    return masked_fill(attn_logits, jnp.logical_not(drop))
+    return drop, topk_idx
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None, axis: int = -2) -> jnp.ndarray:

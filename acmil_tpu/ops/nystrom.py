@@ -147,6 +147,7 @@ def sharded_nystrom_attention(
     seq_axis: str = "seq",
     pinv_iterations: int = 6,
     eps: float = 1e-8,
+    data_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-sharded masked Nystrom attention for mega-bags.
 
@@ -163,25 +164,28 @@ def sharded_nystrom_attention(
       row max via pmax, global denominator and the ``attn3 @ v``
       contraction via one psum of the [B,H,m,Dh] partial products.
 
-    q, k, v: [B, H, N, Dh] sharded P(None, None, seq_axis, None);
-    mask: [B, N] sharded P(None, seq_axis) or None. Returns out with q's
-    sharding. Attention-row extraction (heatmaps) is single-device-only.
+    q, k, v: [B, H, N, Dh] sharded P(data_axis, None, seq_axis, None);
+    mask: [B, N] sharded P(data_axis, seq_axis) or None. ``data_axis``
+    additionally shards the batch axis (each data-shard runs the same
+    collectives over its seq sub-axis). Returns out with q's sharding.
+    Attention-row extraction (heatmaps) is single-device-only.
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     s = mesh.shape[seq_axis]
     m = num_landmarks
     assert m % s == 0, f"landmarks {m} not divisible by seq shards {s}"
+    da = data_axis
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, None, seq_axis, None),) * 3
-        + ((P(None, seq_axis),) if mask is not None else (P(),)),
-        out_specs=P(None, None, seq_axis, None),
-        check_rep=False,
+        in_specs=(P(da, None, seq_axis, None),) * 3
+        + ((P(da, seq_axis),) if mask is not None else (P(),)),
+        out_specs=P(da, None, seq_axis, None),
+        check_vma=False,
     )
     def run(q, k, v, mask_l):
         b, h, n_loc, dh = q.shape
@@ -234,8 +238,12 @@ def sharded_nystrom_attention(
         sim3 = jnp.einsum("bhmd,bhnd->bhmn", q_lg, k_)
         if mask is not None:
             sim3 = jnp.where(mask_l[:, None, None, :], sim3, NEG)
-        row_max = jax.lax.pmax(jnp.max(sim3, axis=-1, keepdims=True),
-                               seq_axis)
+        # stop_gradient on the OPERAND: the max is only a stabiliser
+        # (gradient-neutral), and pmax has no differentiation rule — a
+        # zero tangent in lets the JVP skip the primitive entirely
+        row_max = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(sim3, axis=-1, keepdims=True)),
+            seq_axis)
         p3 = jnp.exp(sim3 - row_max)
         if mask is not None:
             p3 = jnp.where(mask_l[:, None, None, :], p3, 0.0)
@@ -252,22 +260,24 @@ def sharded_nystrom_attention(
 
 
 def sharded_depthwise_seq_conv(v: jnp.ndarray, w: jnp.ndarray, mesh,
-                               seq_axis: str = "seq") -> jnp.ndarray:
+                               seq_axis: str = "seq",
+                               data_axis: Optional[str] = None) -> jnp.ndarray:
     """Sequence-sharded value-residual conv: halo-exchange ``ksize // 2``
     positions with each neighbour via ppermute, zero halos at the ends
     (matching :func:`depthwise_seq_conv`'s zero padding)."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     s = mesh.shape[seq_axis]
     h, ksize = w.shape
     pad = ksize // 2
+    da = data_axis
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, None, seq_axis, None), P()),
-             out_specs=P(None, None, seq_axis, None), check_rep=False)
+             in_specs=(P(da, None, seq_axis, None), P()),
+             out_specs=P(da, None, seq_axis, None), check_vma=False)
     def run(v_loc, w_):
         idx = jax.lax.axis_index(seq_axis)
         assert v_loc.shape[2] >= pad, "shard shorter than the conv halo"

@@ -107,13 +107,19 @@ def _layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 
 
 def fits_vmem(dim: int, mlp_hidden: int, n_pad: int, heads: int,
-              bytes_per_el: int = 2, budget: int = 13 * 2 ** 20,
+              bytes_per_el: int = 2, budget: int = None,
               g: int = 1) -> bool:
     """Conservative scoped-VMEM model for ``g`` images per program.
 
     Calibrated against Mosaic's own stack estimate on v5e (g=4 at
     N_pad=208/D=384 compiles at ~12 MB scoped; g=8 is rejected by the
-    compiler at 16.7 MB vs its 16 MB limit)."""
+    compiler at 16.7 MB vs its 16 MB limit). Shapes outside the
+    calibrated ViT-S class keep a wider margin below the 16 MB limit so
+    an optimistic activation model degrades to the unfused path instead
+    of a hard Mosaic compile failure (ADVICE r2)."""
+    if budget is None:
+        calibrated = dim <= 448 and n_pad <= 256
+        budget = (13 if calibrated else 10) * 2 ** 20
     weights = dim * (3 * dim + dim + 2 * mlp_hidden) * bytes_per_el
     gn = g * n_pad
     # Mosaic reuses dead buffers, so the live set per token is roughly one
@@ -217,3 +223,159 @@ def _bwd(heads, res, g):
 
 
 fused_vit_layer.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Attention-half fusion for big trunks (ViT-B / ViT-L / UNI) — VERDICT r2
+# item 5. Whole-layer fusion needs qkv+proj+mlp weights in VMEM (ViT-S
+# only); here only the ATTENTION half fuses (LN1 -> qkv -> per-image MHA
+# -> proj -> layerscale -> +residual, one kernel, g images per program so
+# the qkv/proj GEMMs run at M = g*N_pad), and the MLP half stays in XLA —
+# which is already at roofline there (BENCH_NOTES "negative result": the
+# LN epilogues fuse fine around the big MLP GEMMs; it was the M=N_pad cap
+# of per-image programs that made half-layer fusion lose before).
+# ---------------------------------------------------------------------------
+
+def _attn_half_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bproj_ref, ls1_ref, o_ref,
+                      *, heads: int, n_valid: int, g: int, n_pad: int):
+    d = x_ref.shape[-1]
+    dh = d // heads
+    x = x_ref[:].reshape(g * n_pad, d).astype(jnp.float32)
+
+    y = _ln_f32(x, ln1s_ref[0], ln1b_ref[0]).astype(x_ref.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(x_ref.dtype)      # [g*N_pad, 3D]
+
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (n_pad, dh), 0)
+    scale = 1.0 / float(np.sqrt(dh))
+    outs = []
+    for gi in range(g):
+        tok = slice(gi * n_pad, (gi + 1) * n_pad)
+        per_head = []
+        for hh in range(heads):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            q_h = qkv[tok, 0 * d:1 * d][:, sl]
+            k_h = qkv[tok, 1 * d:2 * d][:, sl]
+            v_h = qkv[tok, 2 * d:3 * d][:, sl]
+            v_h = jnp.where(row1 < n_valid, v_h, 0)
+            s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(col2 < n_valid, s, -jnp.inf)
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(x_ref.dtype)
+            per_head.append(
+                jnp.dot(p, v_h, preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(per_head, axis=1))
+    o = jnp.concatenate(outs, axis=0).astype(x_ref.dtype)
+
+    attn_out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32)
+    attn_out = (attn_out + bproj_ref[0]) * ls1_ref[0]
+    o_ref[:] = (x + attn_out).astype(o_ref.dtype).reshape(g, n_pad, d)
+
+
+def attn_half_fits(dim: int, n_pad: int, heads: int, g: int = 1,
+                   bytes_per_el: int = 2,
+                   budget: int = 13 * 2 ** 20) -> bool:
+    """VMEM model for the attention-half kernel: qkv+proj weights plus
+    one f32 working tensor the width of the qkv accumulator and one f32
+    residual lane per token, one per-image score matrix at a time.
+    Calibrated on v5e: ViT-B g=2 ≈ 10 MB compiles; UNI (D=1024) g=1
+    ≈ 12 MB compiles; g one step higher is rejected by Mosaic."""
+    weights = dim * 4 * dim * bytes_per_el
+    gn = g * n_pad
+    acts = gn * 4 * (3 * dim + dim) + n_pad * n_pad * 4
+    return weights + acts <= budget
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_vit_attn_half(x, w, heads: int):
+    """x: [B, N, D] -> LN1 -> qkv -> MHA -> proj (*ls1) -> +x.
+
+    ``w``: dict with ln1/{scale,bias}, qkv/{kernel,bias},
+    proj/{kernel,bias} and optional ls1 (flax layout). The MLP half is
+    the caller's (XLA's) job."""
+    return _attn_half_impl(x, w, heads)
+
+
+def _unfused_attn_half(x, w, heads):
+    f32 = jnp.float32
+    y = _ln_f32(x.astype(f32), w["ln1"]["scale"], w["ln1"]["bias"]).astype(x.dtype)
+    qkv = y @ w["qkv"]["kernel"] + w["qkv"]["bias"]
+    b, n, d = x.shape
+    dh = d // heads
+
+    def heads_of(t):
+        return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = (heads_of(qkv[..., i * d:(i + 1) * d]) for i in range(3))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(f32) / np.sqrt(dh)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    attn = (o @ w["proj"]["kernel"] + w["proj"]["bias"]).astype(f32)
+    if "ls1" in w:
+        attn = attn * w["ls1"]
+    return (x.astype(f32) + attn).astype(x.dtype)
+
+
+def _attn_half_impl(x, w, heads):
+    b, n, d = x.shape
+    n_pad = _round_up(n, 16)
+    g = 1
+    for cand in (4, 2):
+        if b % cand == 0 and attn_half_fits(d, n_pad, heads, g=cand):
+            g = cand
+            break
+    if g == 1 and not attn_half_fits(d, n_pad, heads, g=1):
+        return _unfused_attn_half(x, w, heads)
+
+    dt = x.dtype
+    x_spec = pl.BlockSpec((g, n_pad, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    vec = lambda v: v.reshape(1, -1)
+    ls1 = w.get("ls1")
+    ls1 = (jnp.ones((d,), jnp.float32) if ls1 is None
+           else ls1.astype(jnp.float32))
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    args = [
+        x,
+        vec(w["ln1"]["scale"]), vec(w["ln1"]["bias"]),
+        w["qkv"]["kernel"].astype(dt), vec(w["qkv"]["bias"]),
+        w["proj"]["kernel"].astype(dt), vec(w["proj"]["bias"]),
+        vec(ls1),
+    ]
+    in_specs = [x_spec] + [const(tuple(a.shape)) for a in args[1:]]
+    kernel = functools.partial(_attn_half_kernel, heads=heads, n_valid=n,
+                               g=g, n_pad=n_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), dt),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return out[:, :n]
+
+
+def _ah_fwd(x, w, heads):
+    return _attn_half_impl(x, w, heads), (x, w)
+
+
+def _ah_bwd(heads, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, w: _unfused_attn_half(x, w, heads), x, w)
+    return vjp(g)
+
+
+fused_vit_attn_half.defvjp(_ah_fwd, _ah_bwd)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes as C
 import os
 import subprocess
+import weakref
 from typing import Optional, Sequence
 
 import numpy as np
@@ -65,6 +66,10 @@ def get_lib() -> C.CDLL:
     return lib
 
 
+def _close_native(lib, handle):
+    lib.sio_close(handle)
+
+
 class NativeSlide(Slide):
     def __init__(self, path: str):
         lib = get_lib()
@@ -86,6 +91,10 @@ class NativeSlide(Slide):
             float(lib.sio_level_downsample(self._h, i)) for i in range(n)]
         self.properties = {}
         self.path = path
+        # finalizer instead of __del__: survives reference cycles and
+        # exception tracebacks holding the slide, and never resurrects
+        # self (it closes over only (lib, handle)) — ADVICE r2
+        self._fin = weakref.finalize(self, _close_native, lib, self._h)
 
     def _handle(self):
         # guard: a NULL handle into the C ABI is a segfault, not an error
@@ -109,15 +118,10 @@ class NativeSlide(Slide):
         return out
 
     def close(self) -> None:
-        if getattr(self, "_h", None):
-            self._lib.sio_close(self._h)
-            self._h = None
-
-    def __del__(self):  # LRU eviction only drops the reference (see
-        try:            # _LRUSlideCache.put); the native handle closes here
-            self.close()
-        except Exception:
-            pass
+        fin = getattr(self, "_fin", None)
+        if fin is not None and fin.alive:
+            fin()            # runs _close_native exactly once
+        self._h = None
 
 
 def write_spy(path: str, levels: Sequence[np.ndarray], tile_size: int = 256,

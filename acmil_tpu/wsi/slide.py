@@ -151,15 +151,22 @@ class _LRUSlideCache:
             return None
 
     def put(self, path: str, slide: Slide):
+        import sys
+
         with self._lock:
             self._cache[path] = slide
             self._cache.move_to_end(path)
             while len(self._cache) > self.max_open:
-                # drop the reference only (reference LRUCacheDict
-                # semantics): callers may still hold the evicted slide.
-                # Native handles close via NativeSlide.__del__ once the
-                # last reference dies.
-                self._cache.popitem(last=False)
+                _, evicted = self._cache.popitem(last=False)
+                # Close eagerly when the cache held the only reference
+                # (refcount == local binding + getrefcount argument), so
+                # max_open actually bounds open OS handles; slides still
+                # held by callers stay usable and close via their
+                # weakref.finalize when the last reference dies (ADVICE
+                # r2 — max_open is advisory only for externally-held
+                # slides).
+                if sys.getrefcount(evicted) <= 2:
+                    evicted.close()
 
     def clear(self):
         with self._lock:

@@ -343,3 +343,145 @@ def test_eval_outputs_unfused_gate(tiny_conf):
     p_plain = make_eval_step(model, family, fused=False)(params, bag)
     np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_plain),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pool_grad_matches_reference():
+    """Differentiable sharded pooling (VERDICT r2 item 1): loss value and
+    gradients through the shard_map'd fused fwd/bwd equal the jnp
+    reference on an unsharded graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.attn_pool import (_reference_batched,
+                                         sharded_gated_attn_pool_grad)
+    from acmil_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, seq=2)
+    rs = np.random.RandomState(7)
+    b, n, df, l, a, k = 4, 512, 32, 16, 16, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = rs.rand(b, n) < 0.7
+    mask[1, 256:] = False        # empties bag 1's second seq shard
+    mask = jnp.asarray(mask)
+    ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
+          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+
+    def loss_sharded(feats, *ws):
+        bag, logits = sharded_gated_attn_pool_grad(feats, mask, *ws,
+                                                   mesh, 128)
+        return (bag ** 2).sum() + 1e-3 * jnp.where(
+            mask[:, None], jnp.tanh(logits), 0.0).sum()
+
+    def loss_ref(feats, *ws):
+        bag, logits = _reference_batched(feats, mask, *ws)
+        return (bag ** 2).sum() + 1e-3 * jnp.where(
+            mask[:, None], jnp.tanh(logits), 0.0).sum()
+
+    v1, g1 = jax.value_and_grad(loss_sharded, argnums=(0, 1, 3, 5, 6))(feats, *ws)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 3, 5, 6))(feats, *ws)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_derive_stkim_rng_matches_flax():
+    """The probe module reproduces flax's make_rng("stkim") derivation for
+    a root-scope draw — the invariant the fused STKIM path relies on."""
+    import flax.linen as nn
+    import jax
+
+    from acmil_tpu.models.fast import derive_stkim_rng
+
+    class Grab(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return self.make_rng("stkim"), x
+
+    key = jax.random.PRNGKey(42)
+    got, _ = Grab().apply({}, 0.0, rngs={"stkim": key})
+    want = derive_stkim_rng(key)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_train_step_matches_unfused_stkim_on():
+    """VERDICT r2 item 2: the flagship recipe (STKIM on) now runs fused;
+    loss and gradients must match model.apply with the same rng."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(11)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 256) < 0.8),
+              coords=jnp.zeros((2, 256, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    rng = jax.random.PRNGKey(4)
+    valid = bag.mask.any(axis=1)
+
+    results = []
+    for fused in [False, True]:
+        conf = Config(n_class=2, D_feat=32, D_inner=16, arch="ga",
+                      n_token=5, n_masked_patch=10, mask_drop=0.6,
+                      lr=1e-3, train_epoch=1)
+        conf.extra["fused_train"] = fused
+        model, fam_name = build_mil_model(conf)
+        fam = get_family(fam_name)
+        conf_d = fam.conf_dict(conf)
+        assert conf_d.get("fused", False) == fused
+        params = model.init({"params": rng}, bag.feats, bag.mask)["params"]
+
+        def loss_fn(params):
+            outputs = fam.train_outputs(model.apply, params, bag,
+                                        {"stkim": rng, "dropout": rng},
+                                        conf_d)
+            loss, _ = fam.loss(outputs, bag, valid, conf_d)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        results.append((float(loss), jax.tree_util.tree_leaves(grads)))
+
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(l0, l1, rtol=2e-4)
+    for a0, a1 in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                   rtol=3e-3, atol=3e-5)
+
+
+def test_stkim_correction_matches_direct_softmax():
+    """_stkim_correct's subtract-and-renormalise equals pooling with the
+    post-drop softmax computed directly, including peaked logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.fast import _stkim_correct
+    from acmil_tpu.ops.attn_pool import fused_gated_attn_pool_batched
+    from acmil_tpu.ops.masked import stkim_drop
+
+    rs = np.random.RandomState(5)
+    b, n, df, l, a, k = 2, 512, 32, 16, 16, 4
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    # scale the last projection up to sharpen the attention distribution
+    ws = [jnp.asarray(rs.randn(*sh) * s, jnp.float32)
+          for sh, s in [((df, l), 0.3), ((l, a), 0.5), ((a,), 0.1),
+                        ((l, a), 0.5), ((a,), 0.1), ((a, k), 3.0),
+                        ((k,), 0.1)]]
+    bag, logits = fused_gated_attn_pool_batched(feats, mask, *ws,
+                                                chunk=128, interpret=True)
+    rng = jax.random.PRNGKey(9)
+    bag2, a_drop = _stkim_correct(bag, logits, feats, mask, ws[0], rng,
+                                  n_masked_patch=8, mask_drop=0.5)
+    # direct: pool h with softmax over the post-drop logits
+    drop, _ = stkim_drop(rng, logits, 8, 0.5, mask[:, None, :])
+    h = jnp.maximum(feats @ ws[0], 0.0)
+    keep = mask[:, None, :] & ~drop
+    p = jnp.where(keep, logits, -jnp.inf)
+    p = jax.nn.softmax(p, axis=-1)
+    ref = jnp.einsum("bkn,bnl->bkl", p, h)
+    np.testing.assert_allclose(np.asarray(bag2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

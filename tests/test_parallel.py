@@ -59,7 +59,7 @@ def test_dp_matches_single_device(tiny_conf, shard_seq):
 
 def test_acmil_on_mesh(tiny_conf):
     """The flagship head end-to-end on a DP+SP mesh (what
-    dryrun_multichip exercises)."""
+    dryrun_multichip exercises) — through the sharded fused pooling."""
     tiny_conf.arch = "ga"
     model, fam = build_mil_model(tiny_conf)
     rs = np.random.RandomState(1)
@@ -70,13 +70,44 @@ def test_acmil_on_mesh(tiny_conf):
         state = create_train_state(model, tiny_conf, rng, bag, 10)
         state = shard_params(state, mesh)
         bag = shard_bag(bag, mesh, shard_seq=True)
-        step = make_train_step(model, tiny_conf, fam)
+        step = make_train_step(model, tiny_conf, fam, mesh=mesh)
         first = None
         for _ in range(5):
             state, aux = step(state, bag, rng)
             first = first or float(aux["loss"])
         assert np.isfinite(float(aux["loss"]))
         assert float(aux["loss"]) < first
+
+
+def test_mesh_fused_matches_unfused(tiny_conf):
+    """VERDICT r2 item 1a: mesh training through the sharded fused kernel
+    produces the same loss/gradients/updates as the unfused mesh graph
+    (STKIM on — the flagship recipe)."""
+    import jax.flatten_util
+
+    results = []
+    for fused in [False, True]:
+        conf = tiny_conf
+        conf.arch = "ga"
+        conf.extra["fused_train"] = fused
+        model, fam = build_mil_model(conf)
+        rs = np.random.RandomState(3)
+        bag = _bag(rs, b=4, n=256)
+        mesh = make_mesh(data=2, seq=2)
+        rng = jax.random.PRNGKey(2)
+        with mesh:
+            state = create_train_state(model, conf, rng, bag, 10)
+            state = shard_params(state, mesh)
+            bag = shard_bag(bag, mesh, shard_seq=True)
+            step = make_train_step(model, conf, fam, mesh=mesh)
+            state, aux = step(state, bag, rng)
+        flat = jax.flatten_util.ravel_pytree(state.params)[0]
+        results.append((float(aux["loss"]), float(aux["grad_norm"]),
+                        np.asarray(flat)))
+    (l0, gn0, p0), (l1, gn1, p1) = results
+    np.testing.assert_allclose(l1, l0, rtol=2e-4)
+    np.testing.assert_allclose(gn1, gn0, rtol=1e-3)
+    np.testing.assert_allclose(p1, p0, atol=2.5 * tiny_conf.lr)
 
 
 def test_loader_with_mesh(tmp_path, tiny_conf):

@@ -148,9 +148,55 @@ def test_scan_train_matches_loop_mhim(tiny_conf, synthetic_slides):
                                    rtol=5e-4, atol=1e-3, err_msg=attr)
 
 
-def test_device_groups_rejects_mesh(tiny_conf, synthetic_slides):
+def test_mesh_scan_epoch_matches_mesh_loop(tiny_conf, synthetic_slides):
+    """VERDICT r2 item 1b: scan epochs over a data-parallel mesh — one
+    dispatch per sharded shape group — reproduce the per-batch mesh loop's
+    parameter updates (fused sharded pooling active in both)."""
+    from acmil_tpu.parallel import make_mesh, shard_params
+
+    conf = tiny_conf
+    conf.arch = "ga"
+    src = _ListSource(synthetic_slides)
+    model, family = build_mil_model(conf)
+    mesh = make_mesh(data=4, seq=1)
+    rng = jax.random.PRNGKey(3)
+
+    loader = BagLoader(src, batch_size=4, min_bucket=64, seed=0, mesh=mesh)
+    example = next(iter(loader))
+    state = create_train_state(model, conf, jax.random.PRNGKey(0), example,
+                               steps_per_epoch=len(loader), family=family)
+    with mesh:
+        state = shard_params(state, mesh)
+        groups = loader.device_groups()
+        for g in groups:
+            assert g.feats.sharding.spec[1] == "data"
+
+        step = make_train_step(model, conf, family, mesh=mesh)
+        state_loop = state
+        for stacked in groups:
+            for i in range(int(stacked.label.shape[0])):
+                bag = jax.tree_util.tree_map(lambda l: l[i], stacked)
+                state_loop, _ = step(state_loop, bag, rng)
+
+        scan_step = make_scan_train_step(model, conf, family, mesh=mesh)
+        assert scan_step is not None
+        state_scan = state
+        for stacked in groups:
+            k = int(stacked.label.shape[0])
+            state_scan, sums = scan_step(state_scan, stacked,
+                                         jnp.arange(k), rng)
+
+    assert int(state_scan.step) == int(state_loop.step)
+    flat_l = jax.flatten_util.ravel_pytree(state_loop.params)[0]
+    flat_s = jax.flatten_util.ravel_pytree(state_scan.params)[0]
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_l),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(sums["loss"]))
+
+
+def test_device_groups_mesh_batch_divisibility(tiny_conf, synthetic_slides):
     src = _ListSource(synthetic_slides)
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
-    loader = BagLoader(src, batch_size=2, min_bucket=64, mesh=mesh)
-    with pytest.raises(NotImplementedError):
+    loader = BagLoader(src, batch_size=3, min_bucket=64, mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
         loader.device_groups()
