@@ -2,14 +2,22 @@
 
 Consumes a trained/converted :class:`~acmil_tpu.models.encoders.vit.ViT`
 parameter tree directly (same pattern as ``models/fast.py`` for the MIL
-heads) and runs patch-embed -> depth x fused transformer layer -> final
+heads) and runs patch-embed -> depth x transformer layer -> final
 layernorm, giving the Step2 extraction engine
-(`/root/reference/Step2_feature_extract.py:35-67`) a layer-fused compute
-path: per layer, activations cross HBM exactly twice instead of ~10x
-(see ops/vit_layer.py for the VMEM budget argument).
+(`/root/reference/Step2_feature_extract.py:35-67`) the fastest compute
+path available per trunk size:
 
-Falls back layer-by-layer to the unfused graph when the layer does not
-fit VMEM (ViT-B and larger), so it is safe to call for any trunk.
+1. whole-layer Pallas fusion (ops/vit_layer.py) — ViT-S class, weights
+   fit VMEM; activations cross HBM twice per layer;
+2. attention-half Pallas fusion (ops/vit_layer.py::fused_vit_attn_half)
+   + XLA MLP half — ViT-B / UNI class: the qkv+proj weights fit VMEM,
+   the MLP GEMMs are already at roofline in XLA (BENCH_NOTES);
+3. packed-layout fused MHA (ops/vit_attn_packed.py) inside an otherwise
+   XLA layer — CLIP-L / GigaPath class.
+
+Every route supports gelu/quick_gelu/swiglu MLPs, DINOv2 layerscale,
+CLIP pre-norm and output projection, so all reference encoders
+(`models.py:191-206` + UNI/GigaPath) go through this one function.
 """
 
 from __future__ import annotations
@@ -17,7 +25,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from acmil_tpu.ops.vit_layer import LN_EPS, fused_vit_layer
+from acmil_tpu.ops.vit_layer import (LN_EPS, _ln_f32, attn_half_fits,
+                                     fits_vmem, fused_vit_attn_half,
+                                     fused_vit_layer)
 
 
 def _block_weights(bp):
@@ -28,14 +38,67 @@ def _block_weights(bp):
     }
 
 
+def _act(h, act: str, approx_gelu: bool = False):
+    if act == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    if act == "swiglu":
+        a, b = jnp.split(h, 2, axis=-1)
+        return jax.nn.silu(a) * b
+    # tanh-approx gelu for bf16 inference: exact gelu's erf runs on the
+    # VPU and measured as THE ViT-B bottleneck (3.1k -> 4.1k patches/s on
+    # v5e); the approximation error (<~1e-3 abs) is below the bf16 noise
+    # floor — same call the full-layer ViT-S kernel makes
+    # (ops/vit_layer.py). f32 callers (parity tests) keep exact gelu.
+    return jax.nn.gelu(h, approximate=approx_gelu)
+
+
+def _mlp_half(x, bp, act: str):
+    """LN2 -> fc1 -> act -> fc2 (*ls2) -> +residual, in XLA (roofline
+    there — the LN epilogues fuse into the big GEMMs)."""
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    y = _ln_f32(xf, bp["norm2"]["scale"], bp["norm2"]["bias"]).astype(x.dtype)
+    h = y @ bp["mlp"]["Dense_0"]["kernel"] + bp["mlp"]["Dense_0"]["bias"]
+    h = _act(h, act, approx_gelu=x.dtype == jnp.bfloat16).astype(x.dtype)
+    h = h @ bp["mlp"]["Dense_1"]["kernel"] + bp["mlp"]["Dense_1"]["bias"]
+    h = h.astype(f32)
+    if "ls2" in bp:
+        h = h * bp["ls2"]
+    return (xf + h).astype(x.dtype)
+
+
+def _attn_half_weights(bp):
+    w = {"ln1": bp["norm1"], "qkv": bp["attn"]["qkv"],
+         "proj": bp["attn"]["proj"]}
+    if "ls1" in bp:
+        w["ls1"] = bp["ls1"]
+    return w
+
+
+def _xla_attn_half(x, bp, heads: int):
+    """LN1 -> qkv -> packed fused MHA -> proj (*ls1) -> +residual —
+    the route for trunks whose qkv+proj weights exceed VMEM."""
+    from acmil_tpu.ops.vit_attn_packed import fused_mha_packed
+
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    y = _ln_f32(xf, bp["norm1"]["scale"], bp["norm1"]["bias"]).astype(x.dtype)
+    qkv = y @ bp["attn"]["qkv"]["kernel"] + bp["attn"]["qkv"]["bias"]
+    o = fused_mha_packed(qkv.astype(x.dtype), heads).astype(x.dtype)
+    attn = (o @ bp["attn"]["proj"]["kernel"]
+            + bp["attn"]["proj"]["bias"]).astype(f32)
+    if "ls1" in bp:
+        attn = attn * bp["ls1"]
+    return (xf + attn).astype(x.dtype)
+
+
 def vit_encode(params, images, *, patch: int, depth: int, heads: int,
-               dtype=jnp.bfloat16):
-    """images: [B, H, W, 3] normalised -> cls features [B, D].
+               dtype=jnp.bfloat16, act: str = "gelu",
+               pre_norm: bool = False, proj_dim=None):
+    """images: [B, H, W, 3] normalised -> cls features [B, D or proj_dim].
 
     ``params``: the flax ViT param tree (vit.py naming: patch_embed,
-    cls_token, pos_embed, block{i}, norm). Plain-GELU, no-layerscale
-    trunks only (ViT-S/B family) — exactly what vit.py builds for the
-    medical_ssl / natural_* encoders.
+    cls_token, pos_embed, block{i}[, norm_pre], norm[, proj_out]).
     """
     b = images.shape[0]
     x = jax.lax.conv_general_dilated(
@@ -48,13 +111,33 @@ def vit_encode(params, images, *, patch: int, depth: int, heads: int,
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, dim))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
+    if pre_norm:
+        xf = x.astype(jnp.float32)
+        x = _ln_f32(xf, params["norm_pre"]["scale"],
+                    params["norm_pre"]["bias"]).astype(dtype)
+
+    n_tok = x.shape[1]
+    n_pad = (n_tok + 15) // 16 * 16
+    hidden = params["block0"]["mlp"]["Dense_0"]["kernel"].shape[1]
+    layerscale = "ls1" in params["block0"]
+    full_ok = (act == "gelu" and not layerscale
+               and fits_vmem(dim, hidden, n_pad, heads))
+    half_ok = attn_half_fits(dim, n_pad, heads, g=1)
 
     for i in range(depth):
-        x = fused_vit_layer(x, _block_weights(params[f"block{i}"]), heads)
+        bp = params[f"block{i}"]
+        if full_ok:
+            x = fused_vit_layer(x, _block_weights(bp), heads)
+        elif half_ok:
+            x = fused_vit_attn_half(x, _attn_half_weights(bp), heads)
+            x = _mlp_half(x, bp, act)
+        else:
+            x = _xla_attn_half(x, bp, heads)
+            x = _mlp_half(x, bp, act)
 
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    xn = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
-    xn = xn * params["norm"]["scale"] + params["norm"]["bias"]
-    return xn[:, 0].astype(dtype)
+    xn = _ln_f32(xf, params["norm"]["scale"], params["norm"]["bias"])
+    feat = xn[:, 0].astype(dtype)
+    if proj_dim:
+        feat = feat @ params["proj_out"]["kernel"].astype(dtype)
+    return feat

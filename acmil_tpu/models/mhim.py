@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from acmil_tpu.engine.families import Family, register_family
 from acmil_tpu.engine import losses as L
 from acmil_tpu.models import register_model
-from acmil_tpu.models.common import AttentionGated, AttnNet
 from acmil_tpu.models.transmil import PPEG, TransLayer, _grid_shape
 from acmil_tpu.ops.masked import masked_fill, masked_softmax
 
@@ -153,17 +152,28 @@ class SAttentionEncoder(nn.Module):
 
 
 class DAttentionEncoder(nn.Module):
-    """Gated/plain attention pooling encoder (`modules/datten.py:85`)."""
+    """Attention-pooling encoder, faithful to `modules/datten.py`:
+    ``DAttention(input_dim, act, gated=False, bias=False)`` — two
+    bias-free Dense layers (D=128), activation per ``act`` (the reference
+    MHIM passes ``da_act``, default gelu), optional tanh·sigmoid gate
+    (`datten.py:40-84`)."""
 
     dim: int = 512
-    gated: bool = True
+    gated: bool = False
     act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
-        cls = AttentionGated(128, 1) if self.gated else AttnNet(128, 1)
-        a = cls(x)                                              # [B,1,N]
+        act = {"gelu": nn.gelu, "relu": nn.relu, "tanh": jnp.tanh}[self.act]
+        if self.gated:
+            av = act(nn.Dense(128, use_bias=False)(x))
+            au = nn.sigmoid(nn.Dense(128, use_bias=False)(x))
+            a = nn.Dense(1, use_bias=False)(av * au)            # [B,N,1]
+        else:
+            h = act(nn.Dense(128, use_bias=False)(x))
+            a = nn.Dense(1, use_bias=False)(h)
+        a = jnp.swapaxes(a, -1, -2)                             # [B,1,N]
         attn = masked_softmax(a, None if mask is None else mask[:, None, :])
         pooled = jnp.einsum("bkn,bnd->bkd", attn, x)[:, 0]
         if return_attn:
@@ -178,6 +188,7 @@ class MHIM(nn.Module):
     mlp_dim: int = 512
     baseline: str = "selfattn"      # selfattn | attn
     act: str = "relu"
+    da_act: str = "gelu"            # DAttention activation (`mhim.py:38`)
     droprate: float = 0.25
     mask_ratio: float = 0.0         # random
     mask_ratio_l: float = 0.0       # low-attention
@@ -199,7 +210,7 @@ class MHIM(nn.Module):
         if self.baseline == "selfattn":
             return SAttentionEncoder(self.mlp_dim, self.heads,
                                      dtype=self.dtype)
-        return DAttentionEncoder(self.mlp_dim)
+        return DAttentionEncoder(self.mlp_dim, act=self.da_act)
 
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True,

@@ -1,0 +1,4 @@
+"""Path-bridge to the reference's utils/ directory (which has
+no __init__.py, so an installed same-named package would shadow
+it as a namespace package)."""
+__path__ = ["/root/reference/utils"]

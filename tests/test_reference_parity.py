@@ -651,3 +651,74 @@ def test_mean_max_parity(bag):
             jnp.asarray(bag), jnp.ones((1, 200), bool), deterministic=True)
         np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_transmil_wrap_pad_whole_model_parity(monkeypatch):
+    """VERDICT r2 item 8: whole-model TransMIL parity under
+    ``pad_mode='wrap'`` — the reference's duplicate-leading-patches
+    square pad (`transMIL.py:63-66`) plus the pip package's unmasked
+    front-pad rows (strict_pad). The zero-pad default remains the
+    documented deviation; this un-N/As the whole-model comparison."""
+    import sys as _sys
+
+    import architecture.nystrom_attention as vendored_na
+    _sys.modules.setdefault("nystrom_attention", vendored_na)
+    from architecture.transMIL import TransMIL as TorchTransMIL
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.transmil import TransMIL
+
+    # the reference hardcodes .cuda() on the cls token (transMIL.py:71)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    rs = np.random.RandomState(11)
+    n, df, L, C = 200, 48, 64, 2
+    bag = rs.randn(1, n, df).astype(np.float32)
+
+    conf = _Conf(D_feat=df, D_inner=L, n_class=C)
+    tm = TorchTransMIL(conf)
+    tm.eval()
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(bag))
+
+    def layer_params(tl):
+        return {
+            "LayerNorm_0": {"scale": tl.norm.weight.detach().numpy().copy(),
+                            "bias": tl.norm.bias.detach().numpy().copy()},
+            "NystromAttention_0": {
+                "Dense_0": {
+                    "kernel": tl.attn.to_qkv.weight.detach().numpy().T.copy()},
+                "res_conv": tl.attn.res_conv.weight
+                    .detach().numpy()[:, 0, :, 0].copy(),
+                "Dense_1": _lin(tl.attn.to_out[0]),
+            },
+        }
+
+    def ppeg_params(pp):
+        out = {}
+        for name, conv in [("proj7", pp.proj), ("proj5", pp.proj1),
+                           ("proj3", pp.proj2)]:
+            out[name] = conv.weight.detach().numpy().copy()
+            out[name + "_b"] = conv.bias.detach().numpy().copy()
+        return out
+
+    params = {
+        "Dense_0": _lin(tm._fc1[0]),
+        "cls_token": tm.cls_token.detach().numpy().copy(),
+        "TransLayer_0": layer_params(tm.layer1),
+        "PPEG_0": ppeg_params(tm.pos_layer),
+        "TransLayer_1": layer_params(tm.layer2),
+        "LayerNorm_0": {"scale": tm.norm.weight.detach().numpy().copy(),
+                        "bias": tm.norm.bias.detach().numpy().copy()},
+        "Dense_1": _lin(tm._fc2),
+    }
+
+    fm = TransMIL(n_class=C, d_inner=L, pad_mode="wrap")
+    f_logits = fm.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(bag), jnp.ones((1, n), bool), deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_logits), t_logits.numpy(),
+                               rtol=2e-3, atol=2e-4)

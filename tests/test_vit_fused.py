@@ -106,9 +106,12 @@ def test_encoder_feature_fn_routing():
         n_class = 2
         pretrain_weights = ""
 
-    # ViT-S routes to the layer-fused path, ViT-B to model.apply
+    # every ViT routes through the tiered fast path (r3: ViT-B via
+    # attn-half fusion); ResNets keep model.apply
     for key, expect_fast in [(("medical_ssl", "ViT-S/16"), True),
-                             (("natural_supervised", "ViT-B/16"), False)]:
+                             (("natural_supervised", "ViT-B/16"), True),
+                             (("UNI", "ViT-L/16"), True),
+                             (("natural_supervised", "Resnet18"), False)]:
         from acmil_tpu.models.encoders.build import CustomModel
 
         spec = ENCODER_SPECS[key]
@@ -164,3 +167,69 @@ def test_packed_mha_grad_falls_back():
     g2 = jax.grad(lambda q: _reference_packed(q, 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_attn_half_matches_unfused():
+    """Attention-half fusion (VERDICT r2 item 5): LN1+qkv+MHA+proj+ls1+
+    residual in one kernel equals the jnp graph, with and without
+    layerscale."""
+    from acmil_tpu.ops.vit_layer import _attn_half_impl, _unfused_attn_half
+
+    rs = np.random.RandomState(0)
+    b, n, d, heads = 4, 50, 64, 4
+    x = jnp.asarray(rs.randn(b, n, d), jnp.float32)
+    w = {
+        "ln1": {"scale": jnp.asarray(rs.rand(d) + 0.5, jnp.float32),
+                "bias": jnp.asarray(rs.randn(d) * 0.1, jnp.float32)},
+        "qkv": {"kernel": jnp.asarray(rs.randn(d, 3 * d) * 0.1, jnp.float32),
+                "bias": jnp.asarray(rs.randn(3 * d) * 0.05, jnp.float32)},
+        "proj": {"kernel": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+                 "bias": jnp.asarray(rs.randn(d) * 0.05, jnp.float32)},
+        "ls1": jnp.asarray(rs.rand(d) * 0.1, jnp.float32),
+    }
+    np.testing.assert_allclose(
+        np.asarray(_attn_half_impl(x, w, heads)),
+        np.asarray(_unfused_attn_half(x, w, heads)), rtol=2e-4, atol=2e-5)
+    w2 = {k: v for k, v in w.items() if k != "ls1"}
+    np.testing.assert_allclose(
+        np.asarray(_attn_half_impl(x, w2, heads)),
+        np.asarray(_unfused_attn_half(x, w2, heads)), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", ["uni", "clip", "giga"])
+def test_vit_encode_big_trunk_routes(case):
+    """vit_encode's attn-half and packed-MHA routes must match
+    model.apply for layerscale (UNI), pre-norm+quick-gelu+proj (CLIP) and
+    SwiGLU (GigaPath) trunk classes (tiny dims)."""
+    models = {
+        "uni": ViT(16, 96, 2, 4, layerscale=True, img_size=32),
+        "clip": ViT(16, 96, 2, 4, img_size=32, proj_dim=48, pre_norm=True,
+                    act="quick_gelu"),
+        "giga": ViT(16, 96, 2, 4, mlp_ratio=16.0 / 3.0, act="swiglu",
+                    layerscale=True, img_size=32),
+    }
+    m = models[case]
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, m.img_size, m.img_size, 3), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": p}, x))
+    out = np.asarray(vit_encode(p, x, patch=m.patch, depth=m.depth,
+                                heads=m.heads, dtype=jnp.float32, act=m.act,
+                                pre_norm=m.pre_norm, proj_dim=m.proj_dim))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vit_encode_bf16_tracks_f32():
+    """bf16 inference path (approx-gelu MLP half) must track the f32
+    exact-gelu module output: cosine of cls features > 0.999."""
+    rs = np.random.RandomState(2)
+    m32 = ViT(16, 96, 2, 4, img_size=32)
+    x = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    p = m32.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m32.apply({"params": p}, x))
+    out = np.asarray(vit_encode(p, x.astype(jnp.bfloat16), patch=16, depth=2,
+                                heads=4, dtype=jnp.bfloat16)
+                     .astype(jnp.float32))
+    cos = np.sum(ref * out, -1) / (np.linalg.norm(ref, axis=-1)
+                                   * np.linalg.norm(out, axis=-1) + 1e-9)
+    assert cos.min() > 0.999, cos
