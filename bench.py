@@ -117,6 +117,35 @@ def bench_extraction_throughput(batch=512):
     }))
 
 
+def bench_vitb_extraction(batch=128):
+    """ViT-B/16 bf16 over the r3 tiered path (attention-half fusion +
+    approx-gelu XLA MLP half — BENCH_NOTES r3). Baseline = the r2 packed
+    einsum path's 2.98k patches/s; the round target was >=4k."""
+    from acmil_tpu.models.encoders.fast import vit_encode
+    from acmil_tpu.models.encoders.vit import ViT
+
+    dt = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    m = ViT(16, 768, 12, 12, dtype=dt)
+    x = jax.random.normal(rng, (batch, 224, 224, 3), dt)
+    params = jax.device_put(m.init(rng, x[:1])["params"])
+
+    @jax.jit
+    def step_p(params, x):
+        f = vit_encode(params, x, patch=16, depth=12, heads=12, dtype=dt)
+        return x * (1.0 + 0.0 * f.mean().astype(dt)), f
+
+    sec = _chain_time(lambda x: step_p(params, x), x,
+                      lambda f: float(f[0, 0].astype(jnp.float32)), k1=16)
+    tput = batch / sec
+    print(json.dumps({
+        "metric": "vit_b16_extraction_throughput_bf16_attnhalf",
+        "value": round(tput, 1),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(tput / 2980.0, 3),
+    }))
+
+
 def bench_train_epoch(n_bags=242):
     """Scan-epoch training throughput at the Camelyon16 protocol scale:
     242 train bags, ACMIL flagship recipe (STKIM on — runs the fused
@@ -191,6 +220,7 @@ def main():
     bench_extraction_throughput()
     bench_mil_latency()
     bench_train_epoch()
+    bench_vitb_extraction()
 
 
 if __name__ == "__main__":
