@@ -40,10 +40,11 @@ def main():
     gen_s = time.perf_counter() - t0
 
     out = os.path.join(work, "out")
+    # (Step1 here always runs seg+patch+stitch; a_t/a_h lowered for the
+    # small synthetic tissue areas, matching the verify-skill note)
     cmd = [sys.executable, os.path.join(REPO, "Step1_create_patches_fp.py"),
            "--source", src, "--save_dir", out, "--patch_size", "256",
-           "--step_size", "256", "--seg", "--patch", "--stitch",
-           "--a_t", "1", "--a_h", "1"]
+           "--step_size", "256", "--a_t", "1", "--a_h", "1"]
     t0 = time.perf_counter()
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                        timeout=3600)

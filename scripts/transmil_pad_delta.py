@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/transmil_pad_delta")
-    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--seeds", default="1,4")
     args = ap.parse_args()
 
@@ -33,16 +33,19 @@ def main():
     os.makedirs(f"{work}/data", exist_ok=True)
     rs = np.random.RandomState(0)
     slides = {}
-    d = 384
-    for i in range(80):
+    d = 128
+    for i in range(200):
         n = int(rs.randint(200, 900))
         label = i % 2
         feats = rs.randn(n, d).astype(np.float32)
         if label:
-            k = max(2, int(n * rs.uniform(0.02, 0.08)))
+            # TransMIL needs a clearly learnable task to compare pad
+            # modes above chance: broad tumors at the conftest-style
+            # >=6-sigma-clearing shift
+            k = max(2, int(n * rs.uniform(0.05, 0.15)))
             idx = rs.choice(n, k, replace=False)
-            feats[idx] += rs.uniform(2.2, 3.4) * np.ones(d) / np.sqrt(d)
-        name = f"{'test_' if i >= 56 else ''}slide_{i:03d}"
+            feats[idx] += rs.uniform(4.5, 6.5) * np.ones(d) / np.sqrt(d)
+        name = f"{'test_' if i >= 140 else ''}slide_{i:03d}"
         slides[name] = {"feat": feats,
                         "coords": rs.randint(0, 50000, size=(n, 2)),
                         "label": label}
@@ -54,7 +57,7 @@ def main():
     os.makedirs(f"{work}/splits/camelyon", exist_ok=True)
     for s in (int(x) for x in args.seeds.split(",")):
         with open(f"{work}/splits/camelyon/split_{s}.json", "w") as f:
-            json.dump({"train_names": rest[10:], "val_names": rest[:10],
+            json.dump({"train_names": rest[24:], "val_names": rest[:24],
                        "test_names": test_names}, f)
 
     results = []
@@ -63,7 +66,7 @@ def main():
 dataset: camelyon
 n_class: 2
 pretrain: medical_ssl
-D_feat: 384
+D_feat: 128
 D_inner: 128
 arch: transmil
 transmil_pad_mode: {pad_mode}
