@@ -202,17 +202,32 @@ def main():
         write_split(work, names, s)
     cfg = write_config(work, args.epochs)
 
+    # resumable: completed runs live in head_to_head.jsonl and are skipped
+    log = f"{work}/head_to_head.jsonl"
     results = []
+    if os.path.exists(log):
+        with open(log) as f:
+            results = [json.loads(l) for l in f if l.strip()]
+    done = {(r["recipe"], r["seed"], r["framework"]) for r in results}
+
+    def record(r):
+        results.append(r)
+        with open(log, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(json.dumps(r), flush=True)
+
     for recipe in args.recipes.split(","):
         for seed in seeds:
-            ref = run_reference(work, cfg, recipe, seed)
-            ref.update(recipe=recipe, seed=seed, framework="torch-reference")
-            print(json.dumps(ref))
-            ours = run_ours(work, cfg, recipe, seed,
-                            platform=args.ours_platform)
-            ours.update(recipe=recipe, seed=seed, framework="acmil_tpu")
-            print(json.dumps(ours))
-            results.extend([ref, ours])
+            if (recipe, seed, "torch-reference") not in done:
+                ref = run_reference(work, cfg, recipe, seed)
+                ref.update(recipe=recipe, seed=seed,
+                           framework="torch-reference")
+                record(ref)
+            if (recipe, seed, "acmil_tpu") not in done:
+                ours = run_ours(work, cfg, recipe, seed,
+                                platform=args.ours_platform)
+                ours.update(recipe=recipe, seed=seed, framework="acmil_tpu")
+                record(ours)
 
     with open(f"{work}/head_to_head.json", "w") as f:
         json.dump(results, f, indent=2)
