@@ -157,21 +157,30 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     feat_bytes = sum(
         bucket_length(n, conf.min_bucket, conf.max_patches)
         for n in train_src.lengths()) * conf.D_feat * 2
+    # model first: the cache decision below needs to know whether this
+    # family can actually take the scan-epoch path (mesh passes heads
+    # with shard_map'd internals their mesh, e.g. TransMIL's seq-sharded
+    # Nystrom)
+    model, family = build_mil_model(conf, mesh=mesh)
+    fam = get_family(family)
     # mesh runs: the cache shards over the data axis, so the HBM budget
     # scales with it; B>1 (frozen within-batch composition on replay) is
-    # accepted for mesh scan epochs, where B = #data shards by design
+    # accepted ONLY where scan epochs will really run, where B = #data
+    # shards by design — a family with a custom un-scannable step (no
+    # make_step_body) falls back to the per-bag loop, where a frozen
+    # B>1 cache would silently degrade shuffling
     n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    scan_supported = (hasattr(fam, "make_step_body")
+                      or not hasattr(fam, "make_train_step"))
     cache_ok = conf.B == 1 or (
-        mesh is not None and bool(getattr(conf, "scan_epoch", False)))
+        mesh is not None and bool(getattr(conf, "scan_epoch", False))
+        and scan_supported)
     cache_train = bool(conf.extra.get(
         "cache_train", cache_ok and feat_bytes < n_data * 6 * 2 ** 30))
     train_loader = BagLoader(train_src, conf.B, shuffle=True, drop_last=True,
                              seed=conf.seed, cache_device=cache_train, **kw)
     val_loader = BagLoader(val_src, conf.B, cache_device=True, **kw)
     test_loader = BagLoader(test_src, conf.B, cache_device=True, **kw)
-
-    model, family = build_mil_model(conf)
-    fam = get_family(family)
     rng = jax.random.PRNGKey(conf.seed)
     steps_per_epoch = max(len(train_loader), 1)
     conf.extra.setdefault("steps_per_epoch", steps_per_epoch)

@@ -39,6 +39,21 @@ class CheckpointManager:
         for tmp, final in self._pending_meta:
             os.replace(tmp, final)
         self._pending_meta.clear()
+        # Recover sidecars orphaned by a hard kill between the orbax
+        # commit and the promotion above (a fresh process has an empty
+        # pending list, so without this --resume/adopt_checkpoint_config
+        # would find the checkpoint dir but no sidecar). Promote iff the
+        # checkpoint directory actually landed (orbax commits via atomic
+        # rename, so the final dir name implies a complete save);
+        # otherwise the tmp describes a save that never happened — drop it.
+        for fn in os.listdir(self.ckpt_dir):
+            if fn.endswith(".json.tmp"):
+                tmp = os.path.join(self.ckpt_dir, fn)
+                ckpt_path = tmp[: -len(".json.tmp")]
+                if os.path.isdir(ckpt_path):
+                    os.replace(tmp, ckpt_path + ".json")
+                else:
+                    os.remove(tmp)
 
     def save(self, tag: str, state, epoch: int, conf=None,
              metrics: Optional[Dict[str, float]] = None) -> None:
@@ -84,8 +99,13 @@ class CheckpointManager:
             return json.load(f)
 
     def exists(self, tag: str) -> bool:
+        """True iff the checkpoint committed AND its sidecar is readable —
+        consumers (resume, adopt_checkpoint_config) need both, and a kill
+        in the instant between the async-save start and the sidecar stage
+        can leave a dir with no sidecar at all."""
         self._sync()
-        return os.path.exists(self._path(tag))
+        return (os.path.exists(self._path(tag))
+                and os.path.exists(self._path(tag) + ".json"))
 
 
 # the arch hyperparams a checkpoint's params were trained with — consumers

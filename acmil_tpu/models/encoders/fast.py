@@ -25,9 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from acmil_tpu.ops.vit_layer import (LN_EPS, _ln_f32, attn_half_fits,
-                                     fits_vmem, fused_vit_attn_half,
-                                     fused_vit_layer)
+from acmil_tpu.models.encoders.vit import mlp_act
+from acmil_tpu.ops.vit_layer import (LN_EPS, _ln_f32, _unfused_attn_half,
+                                     attn_half_fits, fits_vmem,
+                                     fused_vit_attn_half, fused_vit_layer)
 
 
 def _block_weights(bp):
@@ -38,28 +39,19 @@ def _block_weights(bp):
     }
 
 
-def _act(h, act: str, approx_gelu: bool = False):
-    if act == "quick_gelu":
-        return h * jax.nn.sigmoid(1.702 * h)
-    if act == "swiglu":
-        a, b = jnp.split(h, 2, axis=-1)
-        return jax.nn.silu(a) * b
-    # tanh-approx gelu for bf16 inference: exact gelu's erf runs on the
-    # VPU and measured as THE ViT-B bottleneck (3.1k -> 4.1k patches/s on
-    # v5e); the approximation error (<~1e-3 abs) is below the bf16 noise
-    # floor — same call the full-layer ViT-S kernel makes
-    # (ops/vit_layer.py). f32 callers (parity tests) keep exact gelu.
-    return jax.nn.gelu(h, approximate=approx_gelu)
-
-
 def _mlp_half(x, bp, act: str):
     """LN2 -> fc1 -> act -> fc2 (*ls2) -> +residual, in XLA (roofline
-    there — the LN epilogues fuse into the big GEMMs)."""
+    there — the LN epilogues fuse into the big GEMMs). bf16 callers get
+    tanh-approx gelu: exact gelu's erf runs on the VPU and measured as
+    THE ViT-B bottleneck (3.1k -> 4.1k patches/s on v5e); the error
+    (<~1e-3 abs) is below the bf16 noise floor — same call the
+    full-layer ViT-S kernel makes (ops/vit_layer.py). f32 callers
+    (parity tests) keep exact gelu."""
     f32 = jnp.float32
     xf = x.astype(f32)
     y = _ln_f32(xf, bp["norm2"]["scale"], bp["norm2"]["bias"]).astype(x.dtype)
     h = y @ bp["mlp"]["Dense_0"]["kernel"] + bp["mlp"]["Dense_0"]["bias"]
-    h = _act(h, act, approx_gelu=x.dtype == jnp.bfloat16).astype(x.dtype)
+    h = mlp_act(h, act, approx_gelu=x.dtype == jnp.bfloat16).astype(x.dtype)
     h = h @ bp["mlp"]["Dense_1"]["kernel"] + bp["mlp"]["Dense_1"]["bias"]
     h = h.astype(f32)
     if "ls2" in bp:
@@ -77,19 +69,12 @@ def _attn_half_weights(bp):
 
 def _xla_attn_half(x, bp, heads: int):
     """LN1 -> qkv -> packed fused MHA -> proj (*ls1) -> +residual —
-    the route for trunks whose qkv+proj weights exceed VMEM."""
+    the route for trunks whose qkv+proj weights exceed VMEM. Shares
+    _unfused_attn_half's surrounding math; only the MHA differs."""
     from acmil_tpu.ops.vit_attn_packed import fused_mha_packed
 
-    f32 = jnp.float32
-    xf = x.astype(f32)
-    y = _ln_f32(xf, bp["norm1"]["scale"], bp["norm1"]["bias"]).astype(x.dtype)
-    qkv = y @ bp["attn"]["qkv"]["kernel"] + bp["attn"]["qkv"]["bias"]
-    o = fused_mha_packed(qkv.astype(x.dtype), heads).astype(x.dtype)
-    attn = (o @ bp["attn"]["proj"]["kernel"]
-            + bp["attn"]["proj"]["bias"]).astype(f32)
-    if "ls1" in bp:
-        attn = attn * bp["ls1"]
-    return (xf + attn).astype(x.dtype)
+    return _unfused_attn_half(x, _attn_half_weights(bp), heads,
+                              mha=fused_mha_packed)
 
 
 def vit_encode(params, images, *, patch: int, depth: int, heads: int,
@@ -122,7 +107,8 @@ def vit_encode(params, images, *, patch: int, depth: int, heads: int,
     layerscale = "ls1" in params["block0"]
     full_ok = (act == "gelu" and not layerscale
                and fits_vmem(dim, hidden, n_pad, heads))
-    half_ok = attn_half_fits(dim, n_pad, heads, g=1)
+    half_ok = attn_half_fits(dim, n_pad, heads, g=1,
+                             bytes_per_el=jnp.dtype(dtype).itemsize)
 
     for i in range(depth):
         bp = params[f"block{i}"]

@@ -21,29 +21,36 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def mlp_act(x, act: str, approx_gelu: bool = False):
+    """The one activation dispatch every ViT MLP path shares:
+    'gelu' | 'quick_gelu' (OpenAI CLIP) | 'swiglu' (timm SwiGLUPacked
+    layout — vit_giant_patch14_dinov2, the GigaPath tile encoder: fc1
+    emits 2x the true hidden width, gate = silu(first half) * second
+    half). ``approx_gelu`` selects tanh-approx gelu (bf16 inference —
+    exact gelu's erf runs on the VPU, see BENCH_NOTES r3)."""
+    if act == "quick_gelu":
+        return x * jax.nn.sigmoid(1.702 * x)
+    if act == "swiglu":
+        a, b = jnp.split(x, 2, axis=-1)
+        return jax.nn.silu(a) * b
+    return jax.nn.gelu(x, approximate=approx_gelu)
 
 
 class MlpBlock(nn.Module):
     dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    act: str = "gelu"   # 'gelu' | 'quick_gelu' (OpenAI CLIP) | 'swiglu' (DINOv2-G)
+    act: str = "gelu"   # see mlp_act
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        if self.act == "quick_gelu":
-            x = x * nn.sigmoid(1.702 * x)
-        elif self.act == "swiglu":
-            # timm SwiGLUPacked layout (vit_giant_patch14_dinov2, the
-            # GigaPath tile encoder): fc1 emits 2x the true hidden width,
-            # gate = silu(first half) * second half
-            a, b = jnp.split(x, 2, axis=-1)
-            x = nn.silu(a) * b
-        else:
-            x = nn.gelu(x, approximate=False)
+        x = mlp_act(x, self.act)
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 

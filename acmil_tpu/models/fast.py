@@ -13,6 +13,10 @@ import jax.numpy as jnp
 
 from acmil_tpu.ops.attn_pool import fused_gated_attn_pool
 
+# Largest (lse_full − kept-max) logit gap the O(K·k) STKIM subtraction
+# stays accurate for in f32: relative error ≈ ε·e^gap ≈ 6e-8·e^12 ≈ 1e-2.
+_STKIM_GAP_MAX = 12.0
+
 
 class _StkimRngProbe(nn.Module):
     """Replays flax's rng derivation for `ACMIL_GA`'s `make_rng("stkim")`:
@@ -87,8 +91,16 @@ def _stkim_correct(bag, logits, feats, mask, w1, rng, n_masked_patch,
     with everything in a fresh max-stabilised domain. Only the ≤K·k
     dropped rows of ``h`` are recomputed (one tiny gather + matmul); the
     denominator is computed exactly from the emitted logits, so the only
-    cancellation-sensitive term is the numerator subtraction — bounded
-    because gated-attention logits are bounded (|a| ≤ ‖w‖₁ via tanh·σ).
+    cancellation-sensitive term is the numerator subtraction. Its
+    relative error grows like ε·exp(lse_full − m2) — when the dropped
+    logits tower over the kept maximum by more than ``_STKIM_GAP_MAX``
+    the subtraction cancels catastrophically in f32, so beyond that the
+    whole batch switches (``lax.cond``) to an exact kept-softmax
+    recompute (the unfused formulation, one extra pooling pass). In the
+    reference recipe the gap stays small: STKIM drops at most
+    ⌈mask_drop·k⌉ of the top-k, so the kept max is at least the
+    (k+1)-th logit and gated-attention logits are bounded
+    (|a| ≤ ‖w‖₁ via tanh·σ).
 
     Returns (bag' [B,K,L], post-drop logits [B,K,N] — the model's
     ``A_out`` with NEG_INF at dropped positions).
@@ -106,16 +118,32 @@ def _stkim_correct(bag, logits, feats, mask, w1, rng, n_masked_patch,
     z2 = jnp.sum(e2, axis=-1)                                # [B, K] exact
     lse_full = jax.nn.logsumexp(
         jnp.where(mask[:, None, :], logits, NEG_INF), axis=-1, keepdims=True)
-    scale = jnp.exp(jnp.minimum(lse_full - m2, 80.0))        # [B, K, 1]
-    num = bag * scale                                        # Σ_valid e·h
-    # subtract the dropped terms: gather ≤k rows per branch, recompute h
-    dflag = jnp.take_along_axis(drop, topk_idx, axis=-1)     # [B, K, k]
-    a_top = jnp.take_along_axis(logits, topk_idx, axis=-1)
-    e_top = jnp.exp(jnp.minimum(a_top - m2, 80.0)) * dflag.astype(logits.dtype)
-    x_top = jax.vmap(lambda f, i: f[i])(feats, topk_idx)     # [B, K, k, Df]
-    h_top = jnp.maximum(x_top.astype(w1.dtype) @ w1, 0.0)    # [B, K, k, L]
-    num = num - jnp.einsum("bkt,bktl->bkl", e_top, h_top)
-    bag2 = num / jnp.maximum(z2[..., None], 1e-12)
+    gap = lse_full - m2                                      # [B, K, 1]
+
+    def _fused_correct(_):
+        scale = jnp.exp(jnp.minimum(gap, _STKIM_GAP_MAX + 1.0))
+        num = bag * scale                                    # Σ_valid e·h
+        # subtract the dropped terms: gather ≤k rows/branch, recompute h
+        dflag = jnp.take_along_axis(drop, topk_idx, axis=-1)  # [B, K, k]
+        a_top = jnp.take_along_axis(logits, topk_idx, axis=-1)
+        e_top = (jnp.exp(jnp.minimum(a_top - m2, _STKIM_GAP_MAX + 1.0))
+                 * dflag.astype(logits.dtype))
+        x_top = jax.vmap(lambda f, i: f[i])(feats, topk_idx)  # [B,K,k,Df]
+        h_top = jnp.maximum(x_top.astype(w1.dtype) @ w1, 0.0)  # [B,K,k,L]
+        num = num - jnp.einsum("bkt,bktl->bkl", e_top, h_top)
+        return num / jnp.maximum(z2[..., None], 1e-12)
+
+    def _exact(_):
+        # kept-softmax pooling from scratch — numerically exact at the
+        # cost of re-running the dim-reduction GEMM over every patch
+        h = jnp.maximum(feats.astype(w1.dtype) @ w1, 0.0)    # [B, N, L]
+        attn = jax.nn.softmax(
+            jnp.where(keep, a_drop, jnp.asarray(NEG_INF, logits.dtype)),
+            axis=-1)
+        return jnp.einsum("bkn,bnl->bkl", attn, h)
+
+    bag2 = jax.lax.cond(jnp.max(gap) <= _STKIM_GAP_MAX,
+                        _fused_correct, _exact, None)
     return bag2, a_drop
 
 

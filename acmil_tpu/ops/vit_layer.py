@@ -283,7 +283,12 @@ def attn_half_fits(dim: int, n_pad: int, heads: int, g: int = 1,
     one f32 working tensor the width of the qkv accumulator and one f32
     residual lane per token, one per-image score matrix at a time.
     Calibrated on v5e: ViT-B g=2 ≈ 10 MB compiles; UNI (D=1024) g=1
-    ≈ 12 MB compiles; g one step higher is rejected by Mosaic."""
+    ≈ 12 MB compiles; g one step higher is rejected by Mosaic.
+
+    ``bytes_per_el`` must match the dtype the kernel will cast the
+    weights to (``x.dtype`` — see ``_attn_half_impl``): an f32 caller
+    doubles the weight footprint, and under-counting it turns the
+    graceful unfused fallback into a hard Mosaic compile failure."""
     weights = dim * 4 * dim * bytes_per_el
     gn = g * n_pad
     acts = gn * 4 * (3 * dim + dim) + n_pad * n_pad * 4
@@ -300,21 +305,30 @@ def fused_vit_attn_half(x, w, heads: int):
     return _attn_half_impl(x, w, heads)
 
 
-def _unfused_attn_half(x, w, heads):
+def _unfused_attn_half(x, w, heads, mha=None):
+    """LN1 -> qkv -> MHA -> proj (*ls1) -> +residual outside Pallas.
+
+    ``mha``: optional ``(qkv [B,N,3D], heads) -> o [B,N,D]`` callable
+    replacing the einsum MHA (e.g. the packed fused kernel for trunks
+    whose qkv+proj weights exceed VMEM — encoders/fast.py); everything
+    around it is shared so the two routes cannot drift."""
     f32 = jnp.float32
     y = _ln_f32(x.astype(f32), w["ln1"]["scale"], w["ln1"]["bias"]).astype(x.dtype)
     qkv = y @ w["qkv"]["kernel"] + w["qkv"]["bias"]
-    b, n, d = x.shape
-    dh = d // heads
+    if mha is not None:
+        o = mha(qkv.astype(x.dtype), heads).astype(x.dtype)
+    else:
+        b, n, d = x.shape
+        dh = d // heads
 
-    def heads_of(t):
-        return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+        def heads_of(t):
+            return t.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = (heads_of(qkv[..., i * d:(i + 1) * d]) for i in range(3))
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(f32) / np.sqrt(dh)
-    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
-    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+        q, k, v = (heads_of(qkv[..., i * d:(i + 1) * d]) for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(f32) / np.sqrt(dh)
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(*x.shape)
     attn = (o @ w["proj"]["kernel"] + w["proj"]["bias"]).astype(f32)
     if "ls1" in w:
         attn = attn * w["ls1"]
@@ -324,12 +338,15 @@ def _unfused_attn_half(x, w, heads):
 def _attn_half_impl(x, w, heads):
     b, n, d = x.shape
     n_pad = _round_up(n, 16)
+    bpe = jnp.dtype(x.dtype).itemsize  # kernel casts weights to x.dtype
     g = 1
     for cand in (4, 2):
-        if b % cand == 0 and attn_half_fits(d, n_pad, heads, g=cand):
+        if b % cand == 0 and attn_half_fits(d, n_pad, heads, g=cand,
+                                            bytes_per_el=bpe):
             g = cand
             break
-    if g == 1 and not attn_half_fits(d, n_pad, heads, g=1):
+    if g == 1 and not attn_half_fits(d, n_pad, heads, g=1,
+                                     bytes_per_el=bpe):
         return _unfused_attn_half(x, w, heads)
 
     dt = x.dtype

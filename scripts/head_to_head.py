@@ -202,13 +202,19 @@ def main():
         write_split(work, names, s)
     cfg = write_config(work, args.epochs)
 
-    # resumable: completed runs live in head_to_head.jsonl and are skipped
+    # resumable: completed runs live in head_to_head.jsonl and are
+    # skipped. The key includes epochs so a re-invocation with a
+    # different --epochs re-runs instead of mixing stale rows into the
+    # parity table; rows from other epoch counts are kept in the log but
+    # excluded from this invocation's summary.
     log = f"{work}/head_to_head.jsonl"
-    results = []
+    prior = []
     if os.path.exists(log):
         with open(log) as f:
-            results = [json.loads(l) for l in f if l.strip()]
-    done = {(r["recipe"], r["seed"], r["framework"]) for r in results}
+            prior = [json.loads(l) for l in f if l.strip()]
+    done = {(r["recipe"], r["seed"], r["framework"], r.get("epochs"))
+            for r in prior}
+    results = [r for r in prior if r.get("epochs") == args.epochs]
 
     def record(r):
         results.append(r)
@@ -218,15 +224,16 @@ def main():
 
     for recipe in args.recipes.split(","):
         for seed in seeds:
-            if (recipe, seed, "torch-reference") not in done:
+            if (recipe, seed, "torch-reference", args.epochs) not in done:
                 ref = run_reference(work, cfg, recipe, seed)
-                ref.update(recipe=recipe, seed=seed,
+                ref.update(recipe=recipe, seed=seed, epochs=args.epochs,
                            framework="torch-reference")
                 record(ref)
-            if (recipe, seed, "acmil_tpu") not in done:
+            if (recipe, seed, "acmil_tpu", args.epochs) not in done:
                 ours = run_ours(work, cfg, recipe, seed,
                                 platform=args.ours_platform)
-                ours.update(recipe=recipe, seed=seed, framework="acmil_tpu")
+                ours.update(recipe=recipe, seed=seed, epochs=args.epochs,
+                            framework="acmil_tpu")
                 record(ours)
 
     with open(f"{work}/head_to_head.json", "w") as f:

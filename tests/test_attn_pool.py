@@ -485,3 +485,50 @@ def test_stkim_correction_matches_direct_softmax():
     ref = jnp.einsum("bkn,bnl->bkl", p, h)
     np.testing.assert_allclose(np.asarray(bag2), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stkim_correction_extreme_logit_gap_takes_exact_path():
+    """When dropping the top logits opens a (lse_full - kept_max) gap
+    beyond _STKIM_GAP_MAX, the f32 subtract-renormalise identity breaks
+    down (relative error ~ eps*e^gap); _stkim_correct must switch to the
+    exact kept-softmax recompute and still match direct pooling instead
+    of silently returning cancellation garbage (code-review r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.models.fast import _STKIM_GAP_MAX, _stkim_correct
+    from acmil_tpu.ops.attn_pool import fused_gated_attn_pool_batched
+    from acmil_tpu.ops.masked import stkim_drop
+
+    rs = np.random.RandomState(11)
+    b, n, df, l, a, k = 1, 256, 16, 8, 8, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.9)
+    # last projection scaled so logits span tens of nats: dropping the
+    # top-k then towers lse_full far above the kept maximum
+    ws = [jnp.asarray(rs.randn(*sh) * s, jnp.float32)
+          for sh, s in [((df, l), 0.3), ((l, a), 1.0), ((a,), 0.1),
+                        ((l, a), 1.0), ((a,), 0.1), ((a, k), 40.0),
+                        ((k,), 0.1)]]
+    bag, logits = fused_gated_attn_pool_batched(feats, mask, *ws,
+                                                chunk=128, interpret=True)
+    rng = jax.random.PRNGKey(3)
+    # mask_drop=1.0 drops ALL top-k entries -> maximal gap
+    drop, _ = stkim_drop(rng, logits, 4, 1.0, mask[:, None, :])
+    a_drop = jnp.where(drop, -jnp.inf, logits)
+    m2 = jnp.max(jnp.where(mask[:, None, :] & ~drop, a_drop, -jnp.inf),
+                 axis=-1, keepdims=True)
+    lse = jax.nn.logsumexp(jnp.where(mask[:, None, :], logits, -jnp.inf),
+                           axis=-1, keepdims=True)
+    assert float(jnp.max(lse - m2)) > _STKIM_GAP_MAX, (
+        "fixture failed to open the gap; raise the projection scale")
+
+    bag2, _ = _stkim_correct(bag, logits, feats, mask, ws[0], rng,
+                             n_masked_patch=4, mask_drop=1.0)
+    h = jnp.maximum(feats @ ws[0], 0.0)
+    p = jax.nn.softmax(jnp.where(mask[:, None, :] & ~drop, logits,
+                                 -jnp.inf), axis=-1)
+    ref = jnp.einsum("bkn,bnl->bkl", p, h)
+    np.testing.assert_allclose(np.asarray(bag2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert np.isfinite(np.asarray(bag2)).all()

@@ -75,6 +75,45 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["epoch"] == 3 and meta["metrics"]["auc"] == 0.9
 
 
+def test_checkpoint_orphan_sidecar_recovery(tmp_path):
+    """A hard kill between the async orbax commit and the sidecar
+    promotion leaves `checkpoint-TAG.json.tmp` next to a committed
+    checkpoint dir. A fresh CheckpointManager (empty pending list) must
+    promote it on the next _sync so resume/adopt_checkpoint_config see
+    the metadata; a tmp whose checkpoint dir never landed must be
+    dropped, not promoted (ADVICE r2 follow-up)."""
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.checkpoint import CheckpointManager
+    from acmil_tpu.engine.train import create_train_state
+    from acmil_tpu.models import build_mil_model
+    import jax.numpy as jnp
+
+    conf = Config(n_class=2, D_feat=16, D_inner=8, arch="abmil", train_epoch=1)
+    model, fam = build_mil_model(conf)
+    bag = Bag(feats=jnp.ones((1, 64, 16)), mask=jnp.ones((1, 64), bool),
+              coords=jnp.zeros((1, 64, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    state = create_train_state(model, conf, jax.random.PRNGKey(0), bag, 1)
+    ck = str(tmp_path / "ck")
+    mgr = CheckpointManager(ck)
+    mgr.save("best", state, epoch=5, conf=conf, metrics={"auc": 0.8})
+    mgr.wait()
+    # simulate the kill: demote the promoted sidecar back to .tmp
+    best_json = os.path.join(ck, "checkpoint-best.json")
+    os.replace(best_json, best_json + ".tmp")
+    # and plant an orphan tmp for a save that never committed
+    orphan = os.path.join(ck, "checkpoint-last.json.tmp")
+    with open(orphan, "w") as f:
+        json.dump({"epoch": 99}, f)
+
+    mgr2 = CheckpointManager(ck)  # fresh process: empty pending list
+    assert mgr2.exists("best")            # recovered via promotion
+    assert mgr2.load_meta("best")["epoch"] == 5
+    assert os.path.exists(best_json)
+    assert not mgr2.exists("last")        # orphan dropped
+    assert not os.path.exists(orphan)
+
+
 def test_resume_training(tmp_path):
     """--resume restores epoch counter + full optimizer state."""
     conf = _setup(tmp_path, arch="abmil", epochs=2)
