@@ -21,7 +21,8 @@ import numpy as np
 from acmil_tpu.config import Config
 from acmil_tpu.data import BagLoader, build_hdf5_feat_dataset
 from acmil_tpu.engine import (create_train_state, evaluate, evaluate_scanned,
-                              get_family, make_eval_step, make_scan_eval_step,
+                              family_supports_scan, get_family,
+                              make_eval_step, make_scan_eval_step,
                               make_scan_train_step, make_train_step,
                               train_one_epoch, train_one_epoch_scanned)
 from acmil_tpu.engine.checkpoint import CheckpointManager, save_best_and_last
@@ -170,8 +171,7 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
     # make_step_body) falls back to the per-bag loop, where a frozen
     # B>1 cache would silently degrade shuffling
     n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-    scan_supported = (hasattr(fam, "make_step_body")
-                      or not hasattr(fam, "make_train_step"))
+    scan_supported = family_supports_scan(fam)
     cache_ok = conf.B == 1 or (
         mesh is not None and bool(getattr(conf, "scan_epoch", False))
         and scan_supported)
@@ -192,13 +192,17 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
 
         state = shard_params(state, mesh)
 
-    if mesh is not None and conf.extra.get("fused_train", True):
+    fused_opt_in = bool(conf.extra.get("fused_train", True))
+    if mesh is not None and fused_opt_in:
         # a bare pallas_call can't consume sharded operands, so mesh runs
         # route pooling through the shard_map'd fused kernel instead
         # (ops/attn_pool.py::sharded_gated_attn_pool_grad)
         print("fused_train: mesh run — pooling via the sharded fused kernel")
     train_step = make_train_step(model, conf, fam, mesh=mesh)
-    eval_step = make_eval_step(model, fam, mesh=mesh)
+    # `fused_train: false` opts eval out of the fused kernels too — the
+    # flag exists to bisect a suspected kernel bug, which must cover
+    # val/test as well (code-review r3)
+    eval_step = make_eval_step(model, fam, fused=fused_opt_in, mesh=mesh)
 
     # lax.scan epochs: one dispatch per shape group instead of one per bag
     # (per-bag dispatch dominates epoch time on relay-attached chips —
@@ -214,7 +218,8 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
         else:
             scan_train = make_scan_train_step(model, conf, fam, mesh=mesh)
             if scan_train is not None:
-                scan_eval = make_scan_eval_step(model, fam, mesh=mesh)
+                scan_eval = make_scan_eval_step(model, fam,
+                                                fused=fused_opt_in, mesh=mesh)
             else:
                 print(f"scan_epoch: family '{family}' has a custom train "
                       "step; using the per-bag loop")

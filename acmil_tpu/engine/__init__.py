@@ -3,6 +3,7 @@ from acmil_tpu.engine.train import (
     create_train_state,
     make_train_step,
     make_scan_train_step,
+    family_supports_scan,
     make_eval_step,
     make_scan_eval_step,
     train_one_epoch,
@@ -19,6 +20,7 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_scan_train_step",
+    "family_supports_scan",
     "make_eval_step",
     "make_scan_eval_step",
     "train_one_epoch",

@@ -37,23 +37,32 @@ class CheckpointManager:
         sidecars (rename is atomic on POSIX)."""
         self._ckpt.wait_until_finished()
         for tmp, final in self._pending_meta:
-            os.replace(tmp, final)
+            try:
+                os.replace(tmp, final)
+            except FileNotFoundError:
+                pass  # a concurrent reader already promoted this tmp
         self._pending_meta.clear()
         # Recover sidecars orphaned by a hard kill between the orbax
         # commit and the promotion above (a fresh process has an empty
         # pending list, so without this --resume/adopt_checkpoint_config
         # would find the checkpoint dir but no sidecar). Promote iff the
         # checkpoint directory actually landed (orbax commits via atomic
-        # rename, so the final dir name implies a complete save);
-        # otherwise the tmp describes a save that never happened — drop it.
+        # rename, so the final dir name implies a complete save). A tmp
+        # with NO committed dir is left in place, NOT deleted: this
+        # manager may be a concurrent *reader* (predict/Step4 on a live
+        # training dir) racing a writer whose async save is still in
+        # flight — deleting would strand that save without metadata.
+        # Lingering tmps are inert (exists() requires dir + sidecar) and
+        # are overwritten by the next save() of the same tag.
         for fn in os.listdir(self.ckpt_dir):
             if fn.endswith(".json.tmp"):
                 tmp = os.path.join(self.ckpt_dir, fn)
                 ckpt_path = tmp[: -len(".json.tmp")]
                 if os.path.isdir(ckpt_path):
-                    os.replace(tmp, ckpt_path + ".json")
-                else:
-                    os.remove(tmp)
+                    try:
+                        os.replace(tmp, ckpt_path + ".json")
+                    except FileNotFoundError:
+                        pass  # lost the promotion race — fine either way
 
     def save(self, tag: str, state, epoch: int, conf=None,
              metrics: Optional[Dict[str, float]] = None) -> None:

@@ -57,21 +57,59 @@ def create_train_state(
     )
     sched = half_cosine_schedule(conf.lr, conf.min_lr, conf.train_epoch,
                                  conf.warmup_epoch, steps_per_epoch)
-    tx = optax.adamw(sched, weight_decay=conf.wd)
-    if grad_clip is None:
-        grad_clip = getattr(conf, "grad_clipping", None)
-    if grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
-    # MIL heads have ~20 small param leaves; per-leaf optimizer ops cost
-    # ~0.9 ms/step in kernel-launch overhead on TPU (BENCH_NOTES.md, r2) —
-    # flattening runs AdamW as a handful of ops on one contiguous vector
-    tx = optax.flatten(tx)
-    fam_name = getattr(_resolve_family(family), "name", None) if family else None
+    fam_obj = _resolve_family(family) if family else None
+    if fam_obj is not None and hasattr(fam_obj, "make_tx"):
+        # family-specific optimizer semantics (DTFD: coupled-L2 Adam +
+        # per-module clipping, `Step3_DTFD:131-148`); the hook returns
+        # the COMPLETE transform, including any flattening
+        tx = fam_obj.make_tx(conf, sched)
+    else:
+        tx = optax.adamw(sched, weight_decay=conf.wd)
+        if grad_clip is None:
+            grad_clip = getattr(conf, "grad_clipping", None)
+        if grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+        # MIL heads have ~20 small param leaves; per-leaf optimizer ops
+        # cost ~0.9 ms/step in kernel-launch overhead on TPU
+        # (BENCH_NOTES.md, r2) — flattening runs AdamW as a handful of
+        # ops on one contiguous vector
+        tx = optax.flatten(tx)
+    fam_name = getattr(fam_obj, "name", None)
     if fam_name == "mhim":
         return EMATrainState.create(
             apply_fn=model.apply, params=variables["params"], tx=tx,
             teacher_params=jax.tree_util.tree_map(jnp.copy, variables["params"]))
     return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
+
+
+def clip_by_module_norms(max_norm: float, group_of=lambda k: k):
+    """Optax transform replicating torch's per-module
+    ``clip_grad_norm_``: each group of TOP-LEVEL param-tree keys (as
+    labeled by ``group_of``) is clipped by its OWN global norm — unlike
+    ``clip_by_global_norm``, a spike in one module does not scale down
+    the others' updates (DTFD reference `Step3_DTFD:137-148` clips
+    dimReduction / attention / classifier / UClassifier independently).
+    Matches torch's clip coefficient ``max_norm / (norm + 1e-6)``
+    clamped to <= 1. Must sit OUTSIDE any ``optax.flatten`` (it needs
+    the tree structure)."""
+
+    def update(updates, state, params=None):
+        del params
+        groups: dict = {}
+        for k in updates.keys():
+            groups.setdefault(group_of(k), []).append(k)
+        new = dict(updates)
+        for ks in groups.values():
+            leaves = jax.tree_util.tree_leaves([updates[k] for k in ks])
+            norm = jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+            scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+            for k in ks:
+                new[k] = jax.tree_util.tree_map(lambda u: u * scale,
+                                                updates[k])
+        return new, state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update)
 
 
 def _resolve_family(family):
@@ -122,6 +160,15 @@ def _conf_dict(fam, conf, mesh=None):
     return d
 
 
+def family_supports_scan(family) -> bool:
+    """True iff :func:`make_scan_train_step` will return a scan step for
+    this family (the single authority — CLI cache gating must agree with
+    the dispatch below, code-review r3)."""
+    fam = _resolve_family(family)
+    return (hasattr(fam, "make_step_body")
+            or not hasattr(fam, "make_train_step"))
+
+
 def make_train_step(model, conf, family="acmil", mesh=None) -> Callable:
     fam = _resolve_family(family)
     if hasattr(fam, "make_train_step"):
@@ -150,10 +197,10 @@ def make_scan_train_step(model, conf, family="acmil", mesh=None) -> Optional[Cal
     the within-group visit order.
     """
     fam = _resolve_family(family)
+    if not family_supports_scan(fam):
+        return None
     if hasattr(fam, "make_step_body"):
         body = fam.make_step_body(model, conf)
-    elif hasattr(fam, "make_train_step"):
-        return None
     else:
         body = _make_step_body(fam, _conf_dict(fam, conf, mesh),
                                bool(getattr(conf, "use_sam", False)),

@@ -27,7 +27,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from acmil_tpu.models.common import AttentionGated, Classifier1fc, DimReduction
+from acmil_tpu.models.common import (AttentionGated, Classifier1fc,
+                                     DimReduction,
+                                     torch_linear_uniform_init)
 from acmil_tpu.ops.masked import masked_softmax, stkim_mask
 
 
@@ -86,9 +88,10 @@ class ACMIL_GA(nn.Module):
         branch_feat = jnp.einsum("bkn,bnd->bkd", attn, x)     # [B, K, L]
 
         # Per-branch classifiers: stacked params, one einsum.
-        w = self.param("branch_w", nn.initializers.lecun_normal(),
+        t_init = torch_linear_uniform_init(self.d_inner ** -0.5)
+        w = self.param("branch_w", t_init,
                        (self.n_token, self.d_inner, self.n_class))
-        b = self.param("branch_b", nn.initializers.zeros, (self.n_token, self.n_class))
+        b = self.param("branch_b", t_init, (self.n_token, self.n_class))
         sub_preds = jnp.einsum("bkl,klc->bkc", branch_feat, w) + b
 
         # slide pooling reuses the SAME branch softmax, mean over branches
@@ -242,9 +245,9 @@ class ACMIL_MHA(nn.Module):
         feat_k = feat_k[:, :, 0, :]
         attn = attn_k[:, :, :, 0, :].transpose(0, 2, 1, 3)     # [B, H, K, N]
 
-        w = self.param("branch_w", nn.initializers.lecun_normal(),
-                       (K, self.d_inner, self.n_class))
-        b = self.param("branch_b", nn.initializers.zeros, (K, self.n_class))
+        t_init = torch_linear_uniform_init(self.d_inner ** -0.5)
+        w = self.param("branch_w", t_init, (K, self.d_inner, self.n_class))
+        b = self.param("branch_b", t_init, (K, self.n_class))
         sub_preds = jnp.einsum("bkl,klc->bkc", feat_k, w) + b
 
         m = None if mask is None else mask[:, None, None, :]

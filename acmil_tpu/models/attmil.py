@@ -10,6 +10,13 @@ reference's hardcoded 1024→512.
 from __future__ import annotations
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
@@ -30,22 +37,22 @@ class DAttentionMIL(nn.Module):
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
-        h = nn.Dense(self.d_stem)(feats)
+        h = XDense(self.d_stem)(feats)
         h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
         if self.droprate > 0:
             h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
 
         if self.gated:
-            a_t = jnp.tanh(nn.Dense(self.d_attn, use_bias=False)(h)) \
-                if self.act == "tanh" else nn.relu(nn.Dense(self.d_attn, use_bias=False)(h))
-            b_s = nn.sigmoid(nn.Dense(self.d_attn, use_bias=False)(h))
-            a = nn.Dense(1, use_bias=False)(a_t * b_s)
+            a_t = jnp.tanh(XDense(self.d_attn, use_bias=False)(h)) \
+                if self.act == "tanh" else nn.relu(XDense(self.d_attn, use_bias=False)(h))
+            b_s = nn.sigmoid(XDense(self.d_attn, use_bias=False)(h))
+            a = XDense(1, use_bias=False)(a_t * b_s)
         else:
-            a = nn.Dense(1)(jnp.tanh(nn.Dense(self.d_attn)(h)))
+            a = XDense(1)(jnp.tanh(XDense(self.d_attn)(h)))
         a = jnp.swapaxes(a, -1, -2)                              # [B,1,N]
         attn = masked_softmax(a, None if mask is None else mask[:, None, :])
         m = jnp.einsum("bkn,bnd->bkd", attn, h)[:, 0]
-        logits = nn.Dense(self.n_class)(m)
+        logits = XDense(self.n_class)(m)
         if return_attn:
             return logits, a
         return logits
@@ -73,11 +80,11 @@ class ResnetE2EMIL(nn.Module):
         b, n = patches.shape[:2]
         feats = resnet50()(patches.reshape((b * n,) + patches.shape[2:]))
         feats = feats.reshape(b, n, -1)
-        h = nn.relu(nn.Dense(4096)(feats))
+        h = nn.relu(XDense(4096)(feats))
         h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
-        h = nn.relu(nn.Dense(512)(h))
+        h = nn.relu(XDense(512)(h))
         h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
-        logits = nn.Dense(self.n_class)(h)                      # [B, N, C]
+        logits = XDense(self.n_class)(h)                      # [B, N, C]
         return masked_max(logits, mask, axis=1)
 
 

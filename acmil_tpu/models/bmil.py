@@ -37,6 +37,13 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,12 +155,12 @@ class BMILVis(nn.Module):
     @nn.compact
     def __call__(self, feats, mask=None, coords=None, label=None,
                  deterministic: bool = True):
-        h = nn.relu(nn.Dense(self.d_hidden)(feats))              # [B,N,H]
+        h = nn.relu(XDense(self.d_hidden)(feats))              # [B,N,H]
         if self.droprate:
             h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
-        av = jnp.tanh(nn.Dense(self.d_attn)(h))
-        au = nn.sigmoid(nn.Dense(self.d_attn)(h))
-        params2 = nn.Dense(2)(av * au)                           # [B,N,2]
+        av = jnp.tanh(XDense(self.d_attn)(h))
+        au = nn.sigmoid(XDense(self.d_attn)(h))
+        params2 = XDense(2)(av * au)                           # [B,N,2]
         mu, logvar = params2[..., 0], params2[..., 1]
 
         if deterministic:
@@ -201,7 +208,7 @@ class BMILSpvis(nn.Module):
         b, n, _ = feats.shape
         G = self.grid
         h = nn.relu(nn.Dropout(self.droprate)(
-            nn.Dense(self.d_hidden)(feats), deterministic=deterministic))
+            XDense(self.d_hidden)(feats), deterministic=deterministic))
 
         ard = -4.0
         fa = nn.Dropout(self.droprate)(

@@ -17,6 +17,13 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 import jax
 import jax.numpy as jnp
 
@@ -79,7 +86,7 @@ class _CLAMBase(nn.Module):
     def __call__(self, feats, mask=None, label=None, instance_eval: bool = False,
                  deterministic: bool = True, attention_only: bool = False):
         B = feats.shape[0]
-        h = nn.relu(nn.Dense(self.d_inner)(feats))              # [B, N, L]
+        h = nn.relu(XDense(self.d_inner)(feats))              # [B, N, L]
         if self.droprate > 0:
             h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
         n_branch = self.n_class if self.multi_branch else 1
@@ -102,7 +109,7 @@ class _CLAMBase(nn.Module):
             b = self.param("bag_b", nn.initializers.zeros, (self.n_class,))
             logits = jnp.einsum("bcd,cd->bc", M, w) + b
         else:
-            logits = nn.Dense(self.n_class)(M[:, 0])
+            logits = XDense(self.n_class)(M[:, 0])
 
         # per-class instance classifiers, stacked: [C, L, 2] — created
         # unconditionally so init() without instance_eval still makes them

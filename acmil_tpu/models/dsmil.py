@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
+from acmil_tpu.models.common import Dense as TDense
+from acmil_tpu.models.common import torch_linear_uniform_init
 from acmil_tpu.ops.masked import masked_fill, masked_softmax
 
 
@@ -35,16 +37,16 @@ class DSMIL(nn.Module):
     def __call__(self, feats, mask=None, deterministic: bool = True):
         B, N, D = feats.shape
         # instance stream (FCLayer/IClassifier)
-        inst_logits = nn.Dense(self.n_class)(feats)             # [B, N, C]
+        inst_logits = TDense(self.n_class)(feats)             # [B, N, C]
 
         # bag stream
         if self.nonlinear:
-            q = jnp.tanh(nn.Dense(self.d_query)(
-                nn.relu(nn.Dense(self.d_inner)(feats))))        # [B, N, Q]
+            q = jnp.tanh(TDense(self.d_query)(
+                nn.relu(TDense(self.d_inner)(feats))))        # [B, N, Q]
         else:
-            q = nn.Dense(self.d_inner)(feats)
+            q = TDense(self.d_inner)(feats)
         if self.passing_v:
-            v = nn.relu(nn.Dense(D)(
+            v = nn.relu(TDense(D)(
                 nn.Dropout(self.dropout_v)(feats, deterministic=deterministic)))
         else:
             v = feats
@@ -62,9 +64,10 @@ class DSMIL(nn.Module):
         bag_feat = jnp.einsum("bcn,bnd->bcd", A, v)             # [B, C, D]
 
         # Conv1d(C, C, kernel_size=D) == dense [C*D] -> [C]
-        w = self.param("fcc_w", nn.initializers.lecun_normal(),
-                       (self.n_class, self.n_class * v.shape[-1]))
-        b = self.param("fcc_b", nn.initializers.zeros, (self.n_class,))
+        fan_in = self.n_class * v.shape[-1]
+        t_init = torch_linear_uniform_init(fan_in ** -0.5)  # Conv1d default
+        w = self.param("fcc_w", t_init, (self.n_class, fan_in))
+        b = self.param("fcc_b", t_init, (self.n_class,))
         bag_logits = bag_feat.reshape(B, -1) @ w.T + b          # [B, C]
 
         return inst_logits, bag_logits, a

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from acmil_tpu.engine.families import Family, register_family
 from acmil_tpu.engine import losses as L
 from acmil_tpu.models import register_model
-from acmil_tpu.models.common import AttentionGated, Classifier1fc, DimReduction
+from acmil_tpu.models.common import (AttentionGated, Classifier1fc,
+                                     DimReduction,
+                                     torch_linear_uniform_init)
 from acmil_tpu.ops.masked import masked_fill, masked_softmax
 
 
@@ -92,9 +94,11 @@ class DTFD(nn.Module):
         pooled = att_feats.sum(axis=2)                           # [B,G,L]
 
         # tier-1 classifier, kernel exposed for the CAM trick
-        w1 = self.param("tier1_w", nn.initializers.lecun_normal(),
-                        (self.d_inner, self.n_class))
-        b1 = self.param("tier1_b", nn.initializers.zeros, (self.n_class,))
+        # torch nn.Linear default init — reference dynamics are
+        # init-sensitive (see common.torch_linear_uniform_init)
+        t_init = torch_linear_uniform_init(self.d_inner ** -0.5)
+        w1 = self.param("tier1_w", t_init, (self.d_inner, self.n_class))
+        b1 = self.param("tier1_b", t_init, (self.n_class,))
         sub_preds = pooled @ w1 + b1                             # [B,G,C]
 
         # CAM per-patch logits: attn-weighted feats @ classifier weight,
@@ -158,6 +162,36 @@ class DTFDFamily(Family):
                                 gvalid.reshape(b * g))
         loss1 = L.cross_entropy(outputs["logits"], bag.label, valid)
         return loss0 + loss1, {"loss0": loss0, "loss1": loss1}
+
+    def make_tx(self, conf, sched):
+        """Reference optimizer semantics (`Step3_DTFD:131-148`): plain
+        ``torch.optim.Adam(weight_decay=wd)`` — COUPLED L2 decay added
+        to the (clipped) gradient before the Adam moments, NOT AdamW —
+        and per-module ``clip_grad_norm_(grad_clipping)``. The two
+        reference optimizers are elementwise-identical to one Adam over
+        the disjoint union; loss0/loss1 gradients are disjoint by
+        ``stop_gradient``, so clipping the joint gradient per module
+        equals the reference's per-loss clipping."""
+        import optax
+
+        from acmil_tpu.engine.train import clip_by_module_norms
+
+        def group_of(k):
+            # tier-2 Attention_with_Classifier = one reference module
+            if k in ("AttentionGated_1", "Classifier1fc_0"):
+                return "u_classifier"
+            if k.startswith("tier1"):                 # Classifier_1fc
+                return "classifier"
+            return k          # DimReduction_0 / AttentionGated_0 each own
+
+        inner = optax.flatten(optax.chain(
+            optax.add_decayed_weights(float(conf.wd)),
+            optax.adam(sched)))
+        raw = getattr(conf, "grad_clipping", None)
+        clip = 5.0 if raw is None else float(raw)  # reference CLI default
+        if not clip:
+            return inner                           # explicit 0 disables
+        return optax.chain(clip_by_module_norms(clip, group_of), inner)
 
 
 register_family(DTFDFamily())

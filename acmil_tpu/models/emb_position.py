@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from acmil_tpu.models.common import torch_linear_uniform_init
+
 
 class PEG(nn.Module):
     """Single depthwise-conv positional encoding over the grid view
@@ -26,12 +28,17 @@ class PEG(nn.Module):
     def __call__(self, x, grid_h: int, grid_w: int):
         b, n, c = x.shape
         img = x.transpose(0, 2, 1).reshape(b, c, grid_h, grid_w)
-        w = self.param("proj", nn.initializers.lecun_normal(),
-                       (c, 1, self.k, self.k))
+        # grouped Conv2d(k, groups=dim, bias=True) with torch defaults
+        # (fan_in = k*k); the reference PEG keeps its conv bias
+        # (`emb_position.py:44`)
+        c_init = torch_linear_uniform_init(1.0 / self.k)
+        w = self.param("proj", c_init, (c, 1, self.k, self.k))
+        bias = self.param("proj_b", c_init, (c,))
         pad = self.k // 2
         out = jax.lax.conv_general_dilated(
             img, w.astype(img.dtype), (1, 1), ((pad, pad), (pad, pad)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+        out = out + bias[None, :, None, None].astype(out.dtype)
         return x + out.reshape(b, c, n).transpose(0, 2, 1)
 
 

@@ -13,9 +13,14 @@ import jax.numpy as jnp
 
 from acmil_tpu.ops.attn_pool import fused_gated_attn_pool
 
-# Largest (lse_full − kept-max) logit gap the O(K·k) STKIM subtraction
-# stays accurate for in f32: relative error ≈ ε·e^gap ≈ 6e-8·e^12 ≈ 1e-2.
-_STKIM_GAP_MAX = 12.0
+# Smallest kept softmax mass (1 − Σ dropped probabilities) the O(K·k)
+# STKIM subtract-renormalise identity stays accurate for in f32:
+# relative error ≈ ε / kept_mass ≈ 6e-8 / 1e-5 ≈ 6e-3. Below it the
+# correction switches to an exact kept-softmax recompute.
+_STKIM_KEPT_MIN = 1e-5
+# Equivalent logit-gap bound (kept_mass ≥ e^-gap): kept for tests that
+# construct adversarial fixtures in the logit domain.
+_STKIM_GAP_MAX = 11.5
 
 
 class _StkimRngProbe(nn.Module):
@@ -86,21 +91,25 @@ def _stkim_correct(bag, logits, feats, mask, w1, rng, n_masked_patch,
     positions per branch — so the post-drop pooled feature is the full
     one minus the dropped terms, renormalised:
 
-        bag' = (Σ_valid e_n h_n − Σ_dropped e_n h_n) / Σ_kept e_n
+        bag' = (bag − Σ_dropped p_t h_t) / (1 − Σ_dropped p_t)
 
-    with everything in a fresh max-stabilised domain. Only the ≤K·k
-    dropped rows of ``h`` are recomputed (one tiny gather + matmul); the
-    denominator is computed exactly from the emitted logits, so the only
-    cancellation-sensitive term is the numerator subtraction. Its
-    relative error grows like ε·exp(lse_full − m2) — when the dropped
-    logits tower over the kept maximum by more than ``_STKIM_GAP_MAX``
-    the subtraction cancels catastrophically in f32, so beyond that the
-    whole batch switches (``lax.cond``) to an exact kept-softmax
+    where ``p_t = exp(a_t − lse_full)`` are the FULL-softmax
+    probabilities of the dropped entries — ``bag`` from the kernel is
+    already the full-softmax pooled sum, so everything past one
+    logsumexp over the emitted logits is O(K·k): gather ≤k rows per
+    branch, recompute their ``h``, one tiny matmul (code-review r3
+    removed the previous formulation's four extra [B,K,N] passes —
+    kept-max, exp, mask, reduce).
+
+    The subtraction's relative error grows like ε / kept_mass — when
+    the dropped entries carry almost all the softmax mass
+    (kept < ``_STKIM_KEPT_MIN``) it cancels catastrophically in f32, so
+    the whole batch switches (``lax.cond``) to an exact kept-softmax
     recompute (the unfused formulation, one extra pooling pass). In the
-    reference recipe the gap stays small: STKIM drops at most
-    ⌈mask_drop·k⌉ of the top-k, so the kept max is at least the
-    (k+1)-th logit and gated-attention logits are bounded
-    (|a| ≤ ‖w‖₁ via tanh·σ).
+    reference recipe the kept mass stays large: STKIM drops at most
+    ⌈mask_drop·k⌉ of the top-k, so the kept set retains the (k+1)-th
+    logit and gated-attention logits are bounded (|a| ≤ ‖w‖₁ via
+    tanh·σ).
 
     Returns (bag' [B,K,L], post-drop logits [B,K,N] — the model's
     ``A_out`` with NEG_INF at dropped positions).
@@ -112,37 +121,34 @@ def _stkim_correct(bag, logits, feats, mask, w1, rng, n_masked_patch,
     if drop is None:
         return bag, logits
     a_drop = jnp.where(drop, jnp.asarray(NEG_INF, logits.dtype), logits)
-    keep = mask[:, None, :] & jnp.logical_not(drop)          # [B, K, N]
-    m2 = jax.lax.stop_gradient(jnp.max(a_drop, axis=-1, keepdims=True))
-    e2 = jnp.exp(a_drop - m2) * keep.astype(logits.dtype)
-    z2 = jnp.sum(e2, axis=-1)                                # [B, K] exact
+    # one [B,K,N] pass; the kernels' online-softmax stats are not
+    # plumbed through their custom_vjp (a stat output would need its own
+    # backward rule for ~300 KB/bag of savings)
     lse_full = jax.nn.logsumexp(
         jnp.where(mask[:, None, :], logits, NEG_INF), axis=-1, keepdims=True)
-    gap = lse_full - m2                                      # [B, K, 1]
+    dflag = jnp.take_along_axis(drop, topk_idx, axis=-1)      # [B, K, k]
+    a_top = jnp.take_along_axis(logits, topk_idx, axis=-1)
+    p_top = jnp.exp(a_top - lse_full) * dflag.astype(logits.dtype)
+    kept_mass = 1.0 - jnp.sum(p_top, axis=-1)                 # [B, K]
 
     def _fused_correct(_):
-        scale = jnp.exp(jnp.minimum(gap, _STKIM_GAP_MAX + 1.0))
-        num = bag * scale                                    # Σ_valid e·h
         # subtract the dropped terms: gather ≤k rows/branch, recompute h
-        dflag = jnp.take_along_axis(drop, topk_idx, axis=-1)  # [B, K, k]
-        a_top = jnp.take_along_axis(logits, topk_idx, axis=-1)
-        e_top = (jnp.exp(jnp.minimum(a_top - m2, _STKIM_GAP_MAX + 1.0))
-                 * dflag.astype(logits.dtype))
         x_top = jax.vmap(lambda f, i: f[i])(feats, topk_idx)  # [B,K,k,Df]
         h_top = jnp.maximum(x_top.astype(w1.dtype) @ w1, 0.0)  # [B,K,k,L]
-        num = num - jnp.einsum("bkt,bktl->bkl", e_top, h_top)
-        return num / jnp.maximum(z2[..., None], 1e-12)
+        num = bag - jnp.einsum("bkt,bktl->bkl", p_top, h_top)
+        return num / jnp.maximum(kept_mass[..., None], _STKIM_KEPT_MIN / 4)
 
     def _exact(_):
         # kept-softmax pooling from scratch — numerically exact at the
         # cost of re-running the dim-reduction GEMM over every patch
         h = jnp.maximum(feats.astype(w1.dtype) @ w1, 0.0)    # [B, N, L]
+        keep = mask[:, None, :] & jnp.logical_not(drop)
         attn = jax.nn.softmax(
             jnp.where(keep, a_drop, jnp.asarray(NEG_INF, logits.dtype)),
             axis=-1)
         return jnp.einsum("bkn,bnl->bkl", attn, h)
 
-    bag2 = jax.lax.cond(jnp.max(gap) <= _STKIM_GAP_MAX,
+    bag2 = jax.lax.cond(jnp.min(kept_mass) >= _STKIM_KEPT_MIN,
                         _fused_correct, _exact, None)
     return bag2, a_drop
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from acmil_tpu.models.common import Dense as TDense
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,8 +64,8 @@ class IBMIL(nn.Module):
                 confounders = self.param("confounder_feat",
                                          nn.initializers.normal(1.0),
                                          (self.n_confounder, self.d_inner))
-            bag_q = nn.Dense(self.confounder_dim, name="W_q")(M)          # [B, J]
-            conf_k = nn.Dense(self.confounder_dim, name="W_k")(confounders)  # [P, J]
+            bag_q = TDense(self.confounder_dim, name="W_q")(M)          # [B, J]
+            conf_k = TDense(self.confounder_dim, name="W_k")(confounders)  # [P, J]
             logits_pa = jnp.einsum("pj,bj->bp", conf_k, bag_q) / jnp.sqrt(
                 jnp.asarray(self.confounder_dim, M.dtype))
             deconf_A = jax.nn.softmax(logits_pa, axis=-1)        # over prototypes

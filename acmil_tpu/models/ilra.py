@@ -15,6 +15,13 @@ tokens are always valid). Gating (SiLU of the query input) matches
 from __future__ import annotations
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
@@ -40,13 +47,13 @@ class _MHA(nn.Module):
         B, Nq, _ = q_in.shape
         Nk = k_in.shape[1]
 
-        q0 = nn.Dense(self.dim_v)(q_in)                 # fc_q (residual src)
-        k0 = nn.Dense(self.dim_v)(k_in)                 # fc_k
-        v0 = nn.Dense(self.dim_v)(k_in)                 # fc_v
+        q0 = XDense(self.dim_v)(q_in)                 # fc_q (residual src)
+        k0 = XDense(self.dim_v)(k_in)                 # fc_k
+        v0 = XDense(self.dim_v)(k_in)                 # fc_v
         # nn.MultiheadAttention's own in-projections
-        q = nn.Dense(self.dim_v)(q0)
-        k = nn.Dense(self.dim_v)(k0)
-        v = nn.Dense(self.dim_v)(v0)
+        q = XDense(self.dim_v)(q0)
+        k = XDense(self.dim_v)(k0)
+        v = XDense(self.dim_v)(v0)
 
         def split(t, n):
             return t.reshape(B, n, h, dh).transpose(0, 2, 1, 3)
@@ -57,16 +64,16 @@ class _MHA(nn.Module):
         attn = masked_softmax(logits, m)
         a = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v, Nk))
         a = a.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim_v)
-        a = nn.Dense(self.dim_v)(a)                     # out_proj
+        a = XDense(self.dim_v)(a)                     # out_proj
 
         o = q0 + a
         if self.ln:
             o = nn.LayerNorm()(o)
-        o = o + nn.relu(nn.Dense(self.dim_v)(o))        # fc_o
+        o = o + nn.relu(XDense(self.dim_v)(o))        # fc_o
         if self.ln:
             o = nn.LayerNorm()(o)
         if self.gated:
-            o = o * nn.silu(nn.Dense(self.dim_v)(q_in))
+            o = o * nn.silu(XDense(self.dim_v)(q_in))
         return o
 
 
@@ -126,7 +133,7 @@ class ILRA(nn.Module):
                 x, mask)
         pooled = NLP(self.hidden_feat, self.num_heads, self.topk, self.ln)(
             x, mask)                              # [B, topk, H]
-        logits = nn.Dense(self.n_class)(pooled[:, 0])
+        logits = XDense(self.n_class)(pooled[:, 0])
         return logits
 
 

@@ -12,6 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
+from acmil_tpu.models.common import torch_linear_uniform_init
 from acmil_tpu.models.common import DimReduction
 
 
@@ -23,9 +24,9 @@ class LBMIL(nn.Module):
     def __call__(self, feats, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
         x = DimReduction(self.d_inner)(feats)                    # [B,N,L]
-        w = self.param("cls_w", nn.initializers.lecun_normal(),
-                       (self.d_inner, self.n_class))
-        b = self.param("cls_b", nn.initializers.zeros, (self.n_class,))
+        t_init = torch_linear_uniform_init(self.d_inner ** -0.5)
+        w = self.param("cls_w", t_init, (self.d_inner, self.n_class))
+        b = self.param("cls_b", t_init, (self.n_class,))
 
         out_c = x @ w + b                                        # [B,N,C]
         m = mask[..., None] if mask is not None else None

@@ -8,6 +8,13 @@ Masked: mean counts only valid patches; max ignores pads.
 from __future__ import annotations
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 
 from acmil_tpu.models import register_model
 from acmil_tpu.ops.masked import masked_max, masked_mean
@@ -22,11 +29,11 @@ class _PoolMIL(nn.Module):
 
     @nn.compact
     def __call__(self, feats, mask=None, deterministic: bool = True):
-        h = nn.Dense(self.d_inner)(feats)
+        h = XDense(self.d_inner)(feats)
         h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
         if self.droprate > 0:
             h = nn.Dropout(self.droprate)(h, deterministic=deterministic)
-        h = nn.Dense(self.n_class)(h)                           # [B, N, C]
+        h = XDense(self.n_class)(h)                           # [B, N, C]
         if self.pool == "mean":
             return masked_mean(h, mask, axis=1)
         return masked_max(h, mask, axis=1)

@@ -31,6 +31,13 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+from functools import partial as _partial
+
+# reference `initialize_weights`: xavier_normal weights + zero biases
+# (training dynamics are init-sensitive — see
+# common.torch_linear_uniform_init and PARITY.md r3)
+XDense = _partial(nn.Dense,
+                  kernel_init=nn.initializers.xavier_normal())
 import jax
 import jax.numpy as jnp
 
@@ -123,11 +130,15 @@ class SAttentionEncoder(nn.Module):
 
         attns = []
         if return_attn:
-            h, a1 = TransLayer(self.dim, self.dtype)(h, fmask, deterministic,
+            h, a1 = TransLayer(self.dim, self.dtype,
+                       kernel_init=nn.initializers.xavier_normal(),
+                       bias_init=nn.initializers.zeros)(h, fmask, deterministic,
                                                      return_attn_rows=1)
             attns.append(a1[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim, self.dtype)(h, fmask, deterministic)
+            h = TransLayer(self.dim, self.dtype,
+                       kernel_init=nn.initializers.xavier_normal(),
+                       bias_init=nn.initializers.zeros)(h, fmask, deterministic)
         if self.pos == "ppeg":
             h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
         elif self.pos in ("peg", "sincos"):
@@ -140,11 +151,15 @@ class SAttentionEncoder(nn.Module):
             body = emb(rezero(h)[:, 1:], gh, gw)
             h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
-            h, a2 = TransLayer(self.dim, self.dtype)(h, fmask, deterministic,
+            h, a2 = TransLayer(self.dim, self.dtype,
+                       kernel_init=nn.initializers.xavier_normal(),
+                       bias_init=nn.initializers.zeros)(h, fmask, deterministic,
                                                      return_attn_rows=1)
             attns.append(a2[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim, self.dtype)(h, fmask, deterministic)
+            h = TransLayer(self.dim, self.dtype,
+                       kernel_init=nn.initializers.xavier_normal(),
+                       bias_init=nn.initializers.zeros)(h, fmask, deterministic)
         cls_feat = nn.LayerNorm()(h[:, 0])
         if return_attn:
             return cls_feat, attns
@@ -167,12 +182,12 @@ class DAttentionEncoder(nn.Module):
                  return_attn: bool = False):
         act = {"gelu": nn.gelu, "relu": nn.relu, "tanh": jnp.tanh}[self.act]
         if self.gated:
-            av = act(nn.Dense(128, use_bias=False)(x))
-            au = nn.sigmoid(nn.Dense(128, use_bias=False)(x))
-            a = nn.Dense(1, use_bias=False)(av * au)            # [B,N,1]
+            av = act(XDense(128, use_bias=False)(x))
+            au = nn.sigmoid(XDense(128, use_bias=False)(x))
+            a = XDense(1, use_bias=False)(av * au)            # [B,N,1]
         else:
-            h = act(nn.Dense(128, use_bias=False)(x))
-            a = nn.Dense(1, use_bias=False)(h)
+            h = act(XDense(128, use_bias=False)(x))
+            a = XDense(1, use_bias=False)(h)
         a = jnp.swapaxes(a, -1, -2)                             # [B,1,N]
         attn = masked_softmax(a, None if mask is None else mask[:, None, :])
         pooled = jnp.einsum("bkn,bnd->bkd", attn, x)[:, 0]
@@ -202,7 +217,7 @@ class MHIM(nn.Module):
     def _embed(self, feats, deterministic):
         # named after the reference's input projection so 'fc' student init
         # can copy exactly this subtree (`Step3_MHIM:358-375` patch_to_emb)
-        h = nn.Dense(self.mlp_dim, name="patch_to_emb")(feats)
+        h = XDense(self.mlp_dim, name="patch_to_emb")(feats)
         h = nn.gelu(h) if self.act == "gelu" else nn.relu(h)
         return nn.Dropout(self.droprate)(h, deterministic=deterministic)
 
@@ -260,7 +275,7 @@ class MHIM(nn.Module):
             cls_feat, attns = out
         else:
             cls_feat = out
-        logits = nn.Dense(self.n_class, name="predictor")(cls_feat)
+        logits = XDense(self.n_class, name="predictor")(cls_feat)
         result = {"logits": logits, "cls_feat": cls_feat,
                   "keep": keep}
         if return_attn:
@@ -362,20 +377,37 @@ class MHIMFamily(Family):
 register_family(MHIMFamily())
 
 
+def _mhim_shared_kwargs(conf):
+    """Fields the reference exposes on BOTH mhim and pure
+    (`Step3_WSI_classification_MHIM.py:50-68,313`): projection act /
+    dropout, DAttention act, MSA heads / fusion / layer. Defaults mirror
+    the reference CLI defaults (act=relu, da_act=relu — NOT the class
+    defaults, which mirror `modules/mhim.py:36-38`)."""
+    return dict(
+        n_class=conf.n_class,
+        mlp_dim=int(getattr(conf, "mlp_dim", 512)),
+        baseline=str(getattr(conf, "baseline", "selfattn")),
+        act=str(getattr(conf, "act", "relu")),
+        da_act=str(getattr(conf, "da_act", "relu")),
+        droprate=float(getattr(conf, "dropout", 0.25)),
+        heads=int(getattr(conf, "n_heads", 8)),
+        msa_fusion=str(getattr(conf, "msa_fusion", "vote")),
+        attn_layer=int(getattr(conf, "attn_layer", 0)),
+    )
+
+
 @register_model("mhim", family="mhim")
 def _mhim(conf):
     import jax.numpy as _jnp
 
     return MHIM(
-        n_class=conf.n_class,
-        mlp_dim=int(getattr(conf, "mlp_dim", 512)),
-        baseline=str(getattr(conf, "baseline", "selfattn")),
         dtype=(_jnp.bfloat16 if str(getattr(conf, "compute_dtype", "float32"))
                == "bfloat16" else _jnp.float32),
         mask_ratio=float(getattr(conf, "mask_ratio", 0.0)),
         mask_ratio_l=float(getattr(conf, "mask_ratio_l", 0.0)),
         mask_ratio_h=float(getattr(conf, "mask_ratio_h", 0.0)),
         mask_ratio_hr=float(getattr(conf, "mask_ratio_hr", 1.0)),
+        **_mhim_shared_kwargs(conf),
     )
 
 
@@ -383,8 +415,4 @@ def _mhim(conf):
 def _pure(conf):
     """The MHIM 'pure' baseline: the same encoder without masking/teacher
     (`Step3_MHIM:135-137`, used to pre-train teacher checkpoints)."""
-    return MHIM(
-        n_class=conf.n_class,
-        mlp_dim=int(getattr(conf, "mlp_dim", 512)),
-        baseline=str(getattr(conf, "baseline", "selfattn")),
-    )
+    return MHIM(**_mhim_shared_kwargs(conf))

@@ -25,9 +25,19 @@ import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
+from acmil_tpu.models.common import torch_linear_uniform_init
 from acmil_tpu.ops.nystrom import (depthwise_seq_conv, nystrom_attention,
                                    sharded_depthwise_seq_conv,
                                    sharded_nystrom_attention)
+
+
+def _t_kernel(key, shape, dtype=jnp.float32):
+    """torch nn.Linear/Conv DEFAULT kernel init: U(±1/sqrt(fan_in)),
+    fan_in = shape[0] (flax kernels are [fan_in, features]). The
+    reference TransMIL stack (pip nystrom_attention + `transMIL.py`)
+    has no custom init, so torch defaults are its training-dynamics
+    contract (PARITY.md r3: init sensitivity)."""
+    return torch_linear_uniform_init(shape[0] ** -0.5)(key, shape, dtype)
 
 
 class NystromAttention(nn.Module):
@@ -42,6 +52,12 @@ class NystromAttention(nn.Module):
     residual: bool = True
     residual_conv_kernel: int = 33
     droprate: float = 0.0
+    # None -> torch defaults; MHIM's SAttention overrides with
+    # xavier_normal + zero bias (its reference applies
+    # `initialize_weights` to every nn.Linear, `modules/mhim.py:9-17` —
+    # Conv2d layers like res_conv stay torch-default there too)
+    kernel_init: Any = None
+    bias_init: Any = None
     dtype: jnp.dtype = jnp.float32   # bf16: ~2x faster inference
     # (data, seq) mesh: route through the seq-sharded Nystrom core +
     # halo-exchange conv residual (ops/nystrom.py:140,254) instead of
@@ -73,7 +89,9 @@ class NystromAttention(nn.Module):
             mask = jnp.pad(mask, ((0, 0), (pad, 0)),
                            constant_values=pad_valid)
 
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype)(x)
+        k_init = self.kernel_init or _t_kernel
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       kernel_init=k_init)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):
@@ -97,8 +115,12 @@ class NystromAttention(nn.Module):
                 return_attn_rows=return_attn_rows, attn_row_offset=pad)
 
         if self.residual:
-            w = self.param("res_conv", nn.initializers.lecun_normal(),
-                           (h, self.residual_conv_kernel))
+            # grouped Conv2d((k,1), groups=heads, bias=False) default:
+            # fan_in = k -> U(±1/sqrt(k))
+            w = self.param(
+                "res_conv",
+                torch_linear_uniform_init(self.residual_conv_kernel ** -0.5),
+                (h, self.residual_conv_kernel))
             # zero masked slots first: v at padded rows is nonzero once
             # trained (LN bias through the bias-free qkv Dense), and the
             # 33-wide conv would mix those constants into valid neighbours
@@ -110,7 +132,9 @@ class NystromAttention(nn.Module):
                 out = out + depthwise_seq_conv(v_in, w)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
-        out = nn.Dense(self.dim, dtype=self.dtype)(out).astype(jnp.float32)
+        b_init = self.bias_init or torch_linear_uniform_init(inner ** -0.5)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=k_init,
+                       bias_init=b_init)(out).astype(jnp.float32)
         out = nn.Dropout(self.droprate)(out, deterministic=deterministic)
         out = out[:, -n:]
         if return_attn_rows:
@@ -125,6 +149,8 @@ class TransLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     mesh: Any = None
     strict_pad: bool = False
+    kernel_init: Any = None      # see NystromAttention
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -133,7 +159,8 @@ class TransLayer(nn.Module):
             dim=self.dim, dim_head=self.dim // 8, heads=8,
             num_landmarks=self.dim // 2, pinv_iterations=6,
             residual=True, droprate=0.1, dtype=self.dtype, mesh=self.mesh,
-            strict_pad=self.strict_pad)
+            strict_pad=self.strict_pad, kernel_init=self.kernel_init,
+            bias_init=self.bias_init)
         y = nn.LayerNorm()(x)
         if return_attn_rows:
             y, rows = attn(y, mask, deterministic, return_attn_rows)
@@ -158,9 +185,10 @@ class PPEG(nn.Module):
             # bias included: the reference's nn.Conv2d defaults
             # (`transMIL.py:33-35`); TransMIL rezeros masked slots after
             # PPEG so the bias cannot leak into padded positions
-            w = self.param(name, nn.initializers.lecun_normal(),
-                           (c, 1, ksize, ksize))
-            bias = self.param(name + "_b", nn.initializers.zeros, (c,))
+            # grouped Conv2d(k, groups=dim) torch default: fan_in = k*k
+            c_init = torch_linear_uniform_init(1.0 / ksize)
+            w = self.param(name, c_init, (c, 1, ksize, ksize))
+            bias = self.param(name + "_b", c_init, (c,))
             out = jax.lax.conv_general_dilated(
                 t, w.astype(t.dtype), (1, 1),
                 ((ksize // 2, ksize // 2), (ksize // 2, ksize // 2)),
@@ -174,11 +202,16 @@ class PPEG(nn.Module):
         return jnp.concatenate([cls_tok, feat], axis=1)
 
 
-def _grid_shape(n: int):
-    """Static near-square factorisation of the padded bag length."""
+def _grid_shape(n: int, square: bool = False):
+    """Static near-square factorisation of the padded bag length.
+
+    ``square=True`` forces the reference's ⌈√n⌉×⌈√n⌉ grid
+    (`transMIL.py:64-66`) — wrap mode needs it because the reference
+    wraps to that grid even when n is a power of two (e.g. n=512 →
+    23×23=529 with 17 wrapped patches, not 32×16). The rectangular
+    power-of-two grid is the zero-mode TPU fast path (no pad rows)."""
     k = int(math.ceil(math.log2(max(n, 1))))
-    if 2 ** k != n:
-        # non-power-of-two bucket: fall back to ceil-sqrt grid with pad
+    if square or 2 ** k != n:
         g = int(math.ceil(math.sqrt(n)))
         return g, g
     return 2 ** ((k + 1) // 2), 2 ** (k // 2)
@@ -207,20 +240,37 @@ class TransMIL(nn.Module):
     def __call__(self, feats, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
         b, n, _ = feats.shape
-        h = nn.relu(nn.Dense(self.d_inner, dtype=self.dtype)(feats))  # [B,N,L]
+        fc1_b = torch_linear_uniform_init(feats.shape[-1] ** -0.5)
+        h = nn.relu(nn.Dense(self.d_inner, dtype=self.dtype,
+                             kernel_init=_t_kernel,
+                             bias_init=fc1_b)(feats))  # [B,N,L]
         h = h.astype(jnp.float32)
-        gh, gw = _grid_shape(n)
+        gh, gw = _grid_shape(n, square=self.pad_mode == "wrap")
         grid_n = gh * gw
         if self.pad_mode == "wrap":
             # collated bags are valid-prefix (bucketed padding appends),
             # so wrapping indices modulo the valid count duplicates the
-            # LEADING valid patches, like the reference's torch.cat
+            # LEADING valid patches, like the reference's torch.cat.
+            # The reference's grid is per-bag ⌈√n_valid⌉² — dynamic, so
+            # it can't set the static shape; instead wrap WITHIN the
+            # bucket grid up to that per-bag window and mask the bucket
+            # surplus beyond it (code-review r3: previously the whole
+            # bucket grid wrapped, over-duplicating under padding). When
+            # the bag arrives at natural length (n == n_valid, the torch
+            # parity test and per-bag loaders), ref_n == grid_n and the
+            # semantics are exactly the reference's.
             nv = (mask.sum(-1).astype(jnp.int32) if mask is not None
                   else jnp.full((b,), n, jnp.int32))
             nv = jnp.maximum(nv, 1)
-            idx = jnp.arange(grid_n)[None, :] % nv[:, None]      # [B, grid]
+            ref_g = jnp.ceil(jnp.sqrt(nv.astype(jnp.float32))).astype(jnp.int32)
+            ref_n = jnp.minimum(ref_g * ref_g, grid_n)           # [B]
+            j = jnp.arange(grid_n)[None, :]                      # [1, grid]
+            idx = j % nv[:, None]                                # [B, grid]
             h = jnp.take_along_axis(h, idx[..., None], axis=1)
-            mask = jnp.ones((b, grid_n), bool)
+            mask = j < ref_n[:, None]
+            # masked bucket-surplus slots carry wrapped copies — zero
+            # them so the PPEG convs see the same zeros as zero mode
+            h = h * mask[..., None].astype(h.dtype)
         else:
             if grid_n > n:  # pad to fill the grid (masked slots)
                 h = jnp.pad(h, ((0, 0), (0, grid_n - n), (0, 0)))
@@ -253,7 +303,9 @@ class TransMIL(nn.Module):
             h = TransLayer(self.d_inner, self.dtype, self.mesh, strict)(
                 h, full_mask, deterministic)
         cls_out = nn.LayerNorm()(h[:, 0])
-        logits = nn.Dense(self.n_class)(cls_out)
+        logits = nn.Dense(
+            self.n_class, kernel_init=_t_kernel,
+            bias_init=torch_linear_uniform_init(self.d_inner ** -0.5))(cls_out)
         if return_attn:
             # cls-token attention over patches (drop cls column), for Step4
             return logits, rows[:, 0, 1:1 + n]

@@ -591,9 +591,17 @@ sharded_gated_attn_pool_grad.defvjp(_sgap_fwd, _sgap_bwd)
 
 
 def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
-                            seq_axis: str = "seq", chunk: int = 1024):
+                            seq_axis: str = "seq", chunk: int = 1024,
+                            data_axis: str = "data"):
     """Non-differentiable alias of :func:`sharded_gated_attn_pool_grad`
-    (kept for inference callers; see its docstring for the merge rule)."""
+    (kept for inference callers; see its docstring for the merge rule).
+
+    On a seq-only mesh (no ``data`` axis — the original contract of this
+    wrapper) the batch dimension is replicated rather than erroring on a
+    nonexistent axis name (code-review r3)."""
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        data_axis = None
     bag, logits, _ = _sharded_pool_fwd_impl(
-        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, "data", seq_axis)
+        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis,
+        seq_axis)
     return bag, logits

@@ -79,6 +79,11 @@ class NativeSlide(Slide):
             raise OSError(
                 f"slideio failed to open {path}: "
                 f"{lib.sio_get_error().decode()}")
+        # register IMMEDIATELY after the open succeeds: if any of the
+        # metadata calls below raises (corrupt pyramid), the C handle
+        # must still be closed — a finalizer registered at the end of
+        # __init__ would leak it (code-review r3)
+        self._fin = weakref.finalize(self, _close_native, lib, self._h)
         n = lib.sio_level_count(self._h)
         dims = []
         for i in range(n):
@@ -91,10 +96,9 @@ class NativeSlide(Slide):
             float(lib.sio_level_downsample(self._h, i)) for i in range(n)]
         self.properties = {}
         self.path = path
-        # finalizer instead of __del__: survives reference cycles and
+        # (finalizer instead of __del__: survives reference cycles and
         # exception tracebacks holding the slide, and never resurrects
-        # self (it closes over only (lib, handle)) — ADVICE r2
-        self._fin = weakref.finalize(self, _close_native, lib, self._h)
+        # self — it closes over only (lib, handle). ADVICE r2)
 
     def _handle(self):
         # guard: a NULL handle into the C ABI is a segfault, not an error

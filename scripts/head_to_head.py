@@ -109,22 +109,37 @@ min_bucket: 2048
 
 
 RECIPES = {
-    # (n_token, n_masked_patch, mask_drop) — README.md:51-58
-    "abmil": (1, 0, 0.0),
-    "acmil": (5, 10, 0.6),
+    # recipe -> (reference script, reference CLI flags, our-side YAML
+    # overrides). abmil/acmil are the ACMIL script's arch=ga with
+    # n_token/n_masked_patch/mask_drop (reference README.md:51-58);
+    # dtfd exercises the reference's SEPARATE two-tier two-optimizer
+    # protocol (`Step3_WSI_classification_DTFD.py:131-148`).
+    "abmil": ("Step3_WSI_classification_ACMIL.py",
+              ["--arch", "ga", "--n_token", "1", "--n_masked_patch", "0",
+               "--mask_drop", "0.0"],
+              {"arch": "ga", "n_token": 1, "n_masked_patch": 0,
+               "mask_drop": 0.0}),
+    "acmil": ("Step3_WSI_classification_ACMIL.py",
+              ["--arch", "ga", "--n_token", "5", "--n_masked_patch", "10",
+               "--mask_drop", "0.6"],
+              {"arch": "ga", "n_token": 5, "n_masked_patch": 10,
+               "mask_drop": 0.6}),
+    "dtfd": ("Step3_WSI_classification_DTFD.py",
+             ["--numGroup", "4", "--total_instance", "4"],
+             {"arch": "dtfd", "numGroup": 4, "total_instance": 4,
+              "grad_clipping": 5}),
 }
 
 
 def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
-    n_token, n_masked, drop = RECIPES[recipe]
+    script, ref_flags, _ = RECIPES[recipe]
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join([SHIMS, REF])
     env["WANDB_SHIM_DIR"] = f"{work}/ref_{recipe}_s{seed}"
     env["HDF5_USE_FILE_LOCKING"] = "FALSE"
-    cmd = [sys.executable, f"{REF}/Step3_WSI_classification_ACMIL.py",
-           "--config", cfg, "--seed", str(seed), "--arch", "ga",
-           "--n_token", str(n_token), "--n_masked_patch", str(n_masked),
-           "--mask_drop", str(drop), "--pretrain", "medical_ssl"]
+    cmd = [sys.executable, f"{REF}/{script}",
+           "--config", cfg, "--seed", str(seed),
+           "--pretrain", "medical_ssl"] + ref_flags
     out = subprocess.run(cmd, cwd=work, env=env, capture_output=True,
                          text=True, timeout=3600)
     if out.returncode != 0:
@@ -146,25 +161,25 @@ def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
 
 def run_ours(work: str, cfg: str, recipe: str, seed: int,
              platform: str | None = None) -> dict:
-    n_token, n_masked, drop = RECIPES[recipe]
+    _, _, overrides = RECIPES[recipe]
     env = dict(os.environ)
     if platform == "cpu":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")])
-    # n_token/n_masked_patch/mask_drop ride via a YAML-override file
+    # recipe hyperparams ride via a YAML-override file
     cfg2 = f"{work}/cfg_{recipe}.yml"
     with open(cfg) as f:
         base = f.read()
     with open(cfg2, "w") as f:
-        f.write(base + f"\nn_token: {n_token}\nn_masked_patch: {n_masked}\n"
-                       f"mask_drop: {drop}\narch: ga\n")
+        f.write(base + "".join(f"\n{k}: {v}" for k, v in overrides.items())
+                + "\n")
     code = f"""
 import json, sys
 sys.path.insert(0, {REPO!r})
 from acmil_tpu.cli.train import main
-best = main(["--config", {cfg2!r}, "--seed", "{seed}", "--arch", "ga",
+best = main(["--config", {cfg2!r}, "--seed", "{seed}",
              "--ckpt_dir", {work!r} + "/ours_{recipe}_s{seed}",
              "--scan_epoch"])
 print("H2H_RESULT " + json.dumps(best))

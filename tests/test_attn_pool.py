@@ -277,6 +277,33 @@ def test_sharded_pool_matches_single_device():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_pool_seq_only_mesh():
+    """A mesh with ONLY a seq axis (no 'data') replicates the batch
+    instead of erroring on a nonexistent axis name — the wrapper's
+    original contract (code-review r3)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from acmil_tpu.ops.attn_pool import (fused_gated_attn_pool_batched,
+                                         sharded_gated_attn_pool)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rs = np.random.RandomState(1)
+    b, n, df, l, a, k = 2, 512, 16, 8, 8, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
+          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+    ref_bag, _ = fused_gated_attn_pool_batched(feats, mask, *ws,
+                                               chunk=128, interpret=True)
+    with mesh:
+        bag, _ = sharded_gated_attn_pool(feats, mask, *ws, mesh=mesh,
+                                         chunk=128)
+    np.testing.assert_allclose(np.asarray(bag), np.asarray(ref_bag),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_non_chunk_multiple_n():
     """N that is not a multiple of chunk (e.g. a max_patches-clamped bag,
     or a non-power-of-two bucket) pads internally with inert rows —
@@ -488,15 +515,17 @@ def test_stkim_correction_matches_direct_softmax():
 
 
 def test_stkim_correction_extreme_logit_gap_takes_exact_path():
-    """When dropping the top logits opens a (lse_full - kept_max) gap
-    beyond _STKIM_GAP_MAX, the f32 subtract-renormalise identity breaks
-    down (relative error ~ eps*e^gap); _stkim_correct must switch to the
-    exact kept-softmax recompute and still match direct pooling instead
-    of silently returning cancellation garbage (code-review r3)."""
+    """When the dropped entries carry almost all the softmax mass
+    (kept_mass < _STKIM_KEPT_MIN), the f32 subtract-renormalise identity
+    breaks down (relative error ~ eps/kept_mass); _stkim_correct must
+    switch to the exact kept-softmax recompute and still match direct
+    pooling instead of silently returning cancellation garbage
+    (code-review r3)."""
     import jax
     import jax.numpy as jnp
 
-    from acmil_tpu.models.fast import _STKIM_GAP_MAX, _stkim_correct
+    from acmil_tpu.models.fast import (_STKIM_GAP_MAX, _STKIM_KEPT_MIN,
+                                       _stkim_correct)
     from acmil_tpu.ops.attn_pool import fused_gated_attn_pool_batched
     from acmil_tpu.ops.masked import stkim_drop
 
@@ -522,6 +551,11 @@ def test_stkim_correction_extreme_logit_gap_takes_exact_path():
                            axis=-1, keepdims=True)
     assert float(jnp.max(lse - m2)) > _STKIM_GAP_MAX, (
         "fixture failed to open the gap; raise the projection scale")
+    kept_mass = jnp.sum(
+        jnp.exp(jnp.where(mask[:, None, :] & ~drop, logits, -jnp.inf)
+                - lse), axis=-1)
+    assert float(jnp.min(kept_mass)) < _STKIM_KEPT_MIN, (
+        "fixture kept mass too large to force the exact path")
 
     bag2, _ = _stkim_correct(bag, logits, feats, mask, ws[0], rng,
                              n_masked_patch=4, mask_drop=1.0)

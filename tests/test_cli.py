@@ -80,8 +80,10 @@ def test_checkpoint_orphan_sidecar_recovery(tmp_path):
     promotion leaves `checkpoint-TAG.json.tmp` next to a committed
     checkpoint dir. A fresh CheckpointManager (empty pending list) must
     promote it on the next _sync so resume/adopt_checkpoint_config see
-    the metadata; a tmp whose checkpoint dir never landed must be
-    dropped, not promoted (ADVICE r2 follow-up)."""
+    the metadata; a tmp whose checkpoint dir never landed must NOT be
+    promoted — and must be left in place, because this manager might be
+    a concurrent reader racing a live writer whose async save is still
+    in flight (ADVICE r2 + code-review r3)."""
     from acmil_tpu.data.bags import Bag
     from acmil_tpu.engine.checkpoint import CheckpointManager
     from acmil_tpu.engine.train import create_train_state
@@ -110,8 +112,8 @@ def test_checkpoint_orphan_sidecar_recovery(tmp_path):
     assert mgr2.exists("best")            # recovered via promotion
     assert mgr2.load_meta("best")["epoch"] == 5
     assert os.path.exists(best_json)
-    assert not mgr2.exists("last")        # orphan dropped
-    assert not os.path.exists(orphan)
+    assert not mgr2.exists("last")        # orphan NOT promoted ...
+    assert os.path.exists(orphan)         # ... and left for its writer
 
 
 def test_resume_training(tmp_path):
