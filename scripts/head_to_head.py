@@ -2,9 +2,10 @@
 
 VERDICT r2 item 3: real Camelyon16 data cannot exist in this environment,
 so the strongest obtainable protocol-parity evidence is running the
-reference's own training script (`Step3_WSI_classification_ACMIL.py`,
-CPU) and this repo's CLI on IDENTICAL synthetic feature H5 + frozen
-split + config, and comparing best-epoch metrics.
+reference's own training scripts (`Step3_WSI_classification_ACMIL.py`
+for abmil/acmil, `Step3_WSI_classification_DTFD.py` for the two-tier
+two-optimizer protocol; CPU) and this repo's CLI on IDENTICAL synthetic
+feature H5 + frozen split + config, and comparing best-epoch metrics.
 
 The reference's missing deps (timm/torchmetrics/wandb/torchvision) are
 satisfied by minimal shims (scripts/refshims) — the shims only cover
