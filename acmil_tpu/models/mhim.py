@@ -316,6 +316,10 @@ class MHIMFamily(Family):
 
         cls_alpha = float(getattr(conf, "cls_alpha", 1.0))
         cl_alpha = float(getattr(conf, "cl_alpha", 0.1))
+        # reference CLI defaults (`Step3_WSI_classification_MHIM.py:72`):
+        # teacher temperature 0.1, student 1.0 — NOT the module defaults
+        temp_t = float(getattr(conf, "temp_t", 0.1))
+        temp_s = float(getattr(conf, "temp_s", 1.0))
         mm0 = float(getattr(conf, "mm", 0.9999))
         steps = int(getattr(conf, "steps_per_epoch", 1)) * conf.train_epoch
 
@@ -356,7 +360,9 @@ class MHIMFamily(Family):
                                   teacher_attn=tea_attn,
                                   mask_ratio_h=mrh, rngs=rngs)
                 ce = L.cross_entropy(out["logits"], bag.label, valid)
-                cl = soft_target_ce(out["cls_feat"], tea_feat) if cl_alpha > 0 else 0.0
+                cl = (soft_target_ce(out["cls_feat"], tea_feat,
+                                     temp_t, temp_s)
+                      if cl_alpha > 0 else 0.0)
                 return cls_alpha * ce + cl_alpha * cl, {
                     "logit_loss": ce, "cls_loss": cl}
 
