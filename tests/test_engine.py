@@ -108,3 +108,51 @@ def test_classification_metrics_keys():
     labels = np.array([0, 1])
     m = classification_metrics(probs, labels)
     assert m["acc"] == 1.0 and m["auc"] == 1.0 and m["f1"] == 1.0
+
+
+def test_mhim_step_uses_reference_teacher_temperature():
+    """The MHIM step must sharpen the teacher's soft targets with
+    temp_t=0.1 (the reference CLI default,
+    `Step3_WSI_classification_MHIM.py:72`) — NOT the module default 1.0.
+    Guard: a step built with explicit temp_t=1.0 must produce a
+    DIFFERENT cls_loss than the default-built step on identical state
+    and bag (if both collapsed to the same temperature, the aux losses
+    would match bit-for-bit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.engine.train import create_train_state
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(0)
+    conf = Config(n_class=2, D_feat=24, D_inner=16, arch="mhim",
+                  train_epoch=1, lr=1e-3)
+    for k, v in dict(mlp_dim=32, baseline="attn", cl_alpha=0.5).items():
+        setattr(conf, k, v)
+    conf.extra["steps_per_epoch"] = 1
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    bag = Bag(feats=jnp.asarray(rs.randn(1, 48, 24), jnp.float32),
+              mask=jnp.ones((1, 48), bool),
+              coords=jnp.zeros((1, 48, 2), jnp.int32),
+              label=jnp.asarray([1], jnp.int32))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, conf, rng, bag, 1, family=fam)
+
+    _, aux_default = fam.make_step_body(model, conf)(state, bag, rng)
+
+    import copy
+    conf2 = copy.deepcopy(conf)
+    conf2.temp_t = 1.0
+    _, aux_t1 = fam.make_step_body(model, conf2)(state, bag, rng)
+
+    assert float(aux_default["cls_loss"]) != float(aux_t1["cls_loss"])
+
+    conf3 = copy.deepcopy(conf)
+    conf3.temp_t = 0.1
+    _, aux_01 = fam.make_step_body(model, conf3)(state, bag, rng)
+    np.testing.assert_allclose(float(aux_default["cls_loss"]),
+                               float(aux_01["cls_loss"]), rtol=1e-6)
