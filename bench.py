@@ -20,7 +20,31 @@ survive any driver-side truncation).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+# Fast-fail device probe BEFORE importing jax in this process: the axon
+# relay registers the chip at interpreter start and a dead relay makes
+# `import jax` + first device touch HANG indefinitely (observed r3
+# outage: connection refused on the remote-compile port while
+# jax.devices() blocked forever). Probing in a killable subprocess turns
+# a silent multi-hour hang into a clear fast error for the caller.
+if os.environ.get("ACMIL_BENCH_SKIP_PROBE") != "1":
+    try:
+        _probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=180)
+        _ok = "ok" in _probe.stdout
+        _err = _probe.stderr[-500:]
+    except subprocess.TimeoutExpired:
+        _ok, _err = False, "probe timed out after 180s"
+    if not _ok:
+        print("bench.py: device backend unavailable — relay down? "
+              f"({_err})", file=sys.stderr)
+        sys.exit(2)
 
 import jax
 import jax.numpy as jnp
