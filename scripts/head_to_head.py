@@ -129,6 +129,12 @@ RECIPES = {
              ["--numGroup", "4", "--total_instance", "4"],
              {"arch": "dtfd", "numGroup": 4, "total_instance": 4,
               "grad_clipping": 5}),
+    # generic script, CLAM_SB with the instance-clustering loss active
+    # (w_loss 0.7: `engine.py:101` total = w*bag + (1-w)*instance; the
+    # script's CLI default 1.0 would disable the instance term)
+    "clam": ("Step3_WSI_classification.py",
+             ["--arch", "clam_sb", "--w_loss", "0.7"],
+             {"arch": "clam_sb", "w_loss": 0.7}),
 }
 
 
