@@ -15,8 +15,8 @@ from functools import partial as _partial
 # reference `initialize_weights`: xavier_normal weights + zero biases
 # (training dynamics are init-sensitive — see
 # common.torch_linear_uniform_init and PARITY.md r3)
-XDense = _partial(nn.Dense,
-                  kernel_init=nn.initializers.xavier_normal())
+from acmil_tpu.models.common import torch_xavier_normal as _txn
+XDense = _partial(nn.Dense, kernel_init=_txn)
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model

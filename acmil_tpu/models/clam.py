@@ -22,8 +22,8 @@ from functools import partial as _partial
 # reference `initialize_weights`: xavier_normal weights + zero biases
 # (training dynamics are init-sensitive — see
 # common.torch_linear_uniform_init and PARITY.md r3)
-XDense = _partial(nn.Dense,
-                  kernel_init=nn.initializers.xavier_normal())
+from acmil_tpu.models.common import torch_xavier_normal as _txn
+XDense = _partial(nn.Dense, kernel_init=_txn)
 import jax
 import jax.numpy as jnp
 
@@ -104,8 +104,14 @@ class _CLAMBase(nn.Module):
         M = jnp.einsum("bkn,bnd->bkd", A, h)                    # [B, Kb, L]
         if self.multi_branch:
             # per-class bag classifiers (clam.py:228-230): [C] heads of [L]->1
-            w = self.param("bag_w", nn.initializers.xavier_normal(),
-                           (self.n_class, self.d_inner))
+            # per-class Linear(L,1) stack: flax's xavier on [C,L] would
+            # compute fans from the wrong axes (code-review r3 follow-up:
+            # the class axis is a BATCH axis) — use the torch per-class
+            # std sqrt(2/(L+1)) explicitly
+            w = self.param(
+                "bag_w",
+                nn.initializers.normal((2.0 / (self.d_inner + 1)) ** 0.5),
+                (self.n_class, self.d_inner))
             b = self.param("bag_b", nn.initializers.zeros, (self.n_class,))
             logits = jnp.einsum("bcd,cd->bc", M, w) + b
         else:
@@ -113,8 +119,14 @@ class _CLAMBase(nn.Module):
 
         # per-class instance classifiers, stacked: [C, L, 2] — created
         # unconditionally so init() without instance_eval still makes them
-        wc = self.param("inst_w", nn.initializers.xavier_normal(),
-                        (self.n_class, self.d_inner, 2))
+        # stacked per-class Linear(L,2): leading class axis is a batch
+        # axis; flax xavier on [C,L,2] computes fan_in=L*C (r3 bisection:
+        # inst_w std 0.084 vs torch 0.123, enough to cost ~0.1 test AUC
+        # on the h2h task) — exact torch xavier_normal std per class
+        wc = self.param(
+            "inst_w",
+            nn.initializers.normal((2.0 / (self.d_inner + 2)) ** 0.5),
+            (self.n_class, self.d_inner, 2))
         bc = self.param("inst_b", nn.initializers.zeros, (self.n_class, 2))
 
         out = {"logits": logits, "attn": a, "bag_feat": M}

@@ -123,11 +123,20 @@ class AttentionGated(nn.Module):
         return jnp.swapaxes(a, -1, -2)             # [B, K, N]
 
 
+def torch_xavier_normal(key, shape, dtype=jnp.float32):
+    """torch ``xavier_normal_`` for 2-D kernels [in, out]: a FULL normal
+    with std sqrt(2/(fan_in+fan_out)). flax's ``xavier_normal`` is a
+    truncated normal (no tails beyond 2 sigma) — close but not the
+    reference's distribution."""
+    std = float(np.sqrt(2.0 / (shape[0] + shape[1])))
+    return std * jax.random.normal(key, shape, dtype)
+
+
 # CLAM's reference applies `initialize_weights` (xavier_normal + zero
 # bias, `utils/utils.py:519`) — not torch Linear defaults — so its
 # attention nets keep flax Dense with xavier kernels.
 def _xavier_dense(features):
-    return nn.Dense(features, kernel_init=nn.initializers.xavier_normal())
+    return nn.Dense(features, kernel_init=torch_xavier_normal)
 
 
 class AttnNet(nn.Module):

@@ -20,12 +20,31 @@ from functools import partial as _partial
 # reference `initialize_weights`: xavier_normal weights + zero biases
 # (training dynamics are init-sensitive — see
 # common.torch_linear_uniform_init and PARITY.md r3)
-XDense = _partial(nn.Dense,
-                  kernel_init=nn.initializers.xavier_normal())
+from acmil_tpu.models.common import torch_xavier_normal as _txn
+XDense = _partial(nn.Dense, kernel_init=_txn)
+import jax
 import jax.numpy as jnp
 
 from acmil_tpu.models import register_model
 from acmil_tpu.ops.masked import masked_softmax
+
+
+def _torch_xavier_uniform_nd(shape):
+    """torch `xavier_uniform_` fans for an n-D tensor: fan_in =
+    shape[1]*prod(shape[2:]), fan_out = shape[0]*prod(shape[2:]) — the
+    reference applies it directly to the 3-D latent/seed tensors
+    (`ilra.py:76,103`); flax's default in/out axes would compute fans
+    ~num_inds*dim too small (r3 init audit)."""
+    import numpy as _np
+
+    rf = int(_np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_in, fan_out = shape[1] * rf, shape[0] * rf
+    bound = float(_np.sqrt(6.0 / (fan_in + fan_out)))
+
+    def init(key, s, dtype=jnp.float32):
+        return jax.random.uniform(key, s, dtype, -bound, bound)
+
+    return init
 
 
 class _MHA(nn.Module):
@@ -88,8 +107,10 @@ class GAB(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         B = x.shape[0]
-        latent = self.param("latent", nn.initializers.xavier_uniform(),
-                            (1, self.num_inds, self.dim_out))
+        latent = self.param(
+            "latent",
+            _torch_xavier_uniform_nd((1, self.num_inds, self.dim_out)),
+            (1, self.num_inds, self.dim_out))
         latent = jnp.broadcast_to(latent, (B, self.num_inds, self.dim_out))
         h = _MHA(self.dim_out, self.num_heads, self.ln, gated=True)(
             latent, x, mask)                     # bag -> latent
@@ -109,8 +130,9 @@ class NLP(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         B = x.shape[0]
-        s = self.param("seeds", nn.initializers.xavier_uniform(),
-                       (1, self.num_seeds, self.dim))
+        s = self.param(
+            "seeds", _torch_xavier_uniform_nd((1, self.num_seeds, self.dim)),
+            (1, self.num_seeds, self.dim))
         s = jnp.broadcast_to(s, (B, self.num_seeds, self.dim))
         return _MHA(self.dim, self.num_heads, self.ln)(s, x, mask)
 

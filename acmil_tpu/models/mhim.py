@@ -36,8 +36,8 @@ from functools import partial as _partial
 # reference `initialize_weights`: xavier_normal weights + zero biases
 # (training dynamics are init-sensitive — see
 # common.torch_linear_uniform_init and PARITY.md r3)
-XDense = _partial(nn.Dense,
-                  kernel_init=nn.initializers.xavier_normal())
+from acmil_tpu.models.common import torch_xavier_normal as _txn
+XDense = _partial(nn.Dense, kernel_init=_txn)
 import jax
 import jax.numpy as jnp
 
@@ -131,13 +131,13 @@ class SAttentionEncoder(nn.Module):
         attns = []
         if return_attn:
             h, a1 = TransLayer(self.dim, self.dtype,
-                       kernel_init=nn.initializers.xavier_normal(),
+                       kernel_init=_txn,
                        bias_init=nn.initializers.zeros)(h, fmask, deterministic,
                                                      return_attn_rows=1)
             attns.append(a1[:, 0, 1:1 + n])
         else:
             h = TransLayer(self.dim, self.dtype,
-                       kernel_init=nn.initializers.xavier_normal(),
+                       kernel_init=_txn,
                        bias_init=nn.initializers.zeros)(h, fmask, deterministic)
         if self.pos == "ppeg":
             h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
@@ -152,13 +152,13 @@ class SAttentionEncoder(nn.Module):
             h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
             h, a2 = TransLayer(self.dim, self.dtype,
-                       kernel_init=nn.initializers.xavier_normal(),
+                       kernel_init=_txn,
                        bias_init=nn.initializers.zeros)(h, fmask, deterministic,
                                                      return_attn_rows=1)
             attns.append(a2[:, 0, 1:1 + n])
         else:
             h = TransLayer(self.dim, self.dtype,
-                       kernel_init=nn.initializers.xavier_normal(),
+                       kernel_init=_txn,
                        bias_init=nn.initializers.zeros)(h, fmask, deterministic)
         cls_feat = nn.LayerNorm()(h[:, 0])
         if return_attn:
