@@ -266,7 +266,8 @@ def run_training(conf: Config, extra_config: dict | None = None) -> dict:
             logger = MetricLogger()
             if scan_train is not None:
                 state, stats = train_one_epoch_scanned(
-                    state, scan_train, train_loader, rng, epoch, logger)
+                    state, scan_train, train_loader, rng, epoch, logger,
+                    interleave=int(getattr(conf, "scan_interleave", 1)))
             else:
                 state, stats = train_one_epoch(state, train_step, train_loader,
                                                rng, epoch, logger)

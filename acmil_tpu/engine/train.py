@@ -296,25 +296,43 @@ def train_one_epoch(state: TrainState, train_step, loader, rng: jax.Array,
 
 def train_one_epoch_scanned(state: TrainState, scan_step, loader,
                             rng: jax.Array, epoch: int, logger=None,
+                            interleave: int = 1,
                             ) -> Tuple[TrainState, Dict[str, float]]:
     """Scan-based epoch: one dispatch per shape group (see
     :func:`make_scan_train_step`). Groups are visited in a fresh random
     order each epoch and bags shuffled within their group, so the visit
     order is a uniform permutation *conditioned on* bucket grouping —
     slightly coarser than the loop driver's global shuffle (documented in
-    BENCH_NOTES.md; enable via ``scan_epoch: true``)."""
+    BENCH_NOTES.md; enable via ``scan_epoch: true``).
+
+    ``interleave`` > 1 splits each group's visit order into that many
+    chunks and dispatches the chunks of ALL groups in one globally
+    shuffled sequence, decorrelating bag length from intra-epoch
+    position (the curriculum-like effect of bucket-blocked order —
+    ADVICE r2). Cost: up to 2 extra compiles per group (full-chunk and
+    remainder-chunk scan lengths) and ``interleave``× more dispatches;
+    set via ``scan_interleave`` in the config."""
     groups = loader.device_groups()
-    order = (loader.rng.permutation(len(groups)) if loader.shuffle
-             else range(len(groups)))
     totals: Dict[str, jnp.ndarray] = {}
     n = 0
-    for gi in order:
-        stacked = groups[gi]
+    # build the dispatch list: (group index, within-group visit indices)
+    dispatches = []
+    for gi, stacked in enumerate(groups):
         k = int(stacked.label.shape[0])
         perm = (loader.rng.permutation(k) if loader.shuffle
                 else np.arange(k))
-        state, sums = scan_step(state, stacked, jnp.asarray(perm), rng)
-        n += k
+        c = max(1, min(int(interleave), k))
+        m = -(-k // c)                       # ceil(k / c)
+        for lo in range(0, k, m):
+            dispatches.append((gi, perm[lo:lo + m]))
+    if loader.shuffle:
+        order = loader.rng.permutation(len(dispatches))
+    else:
+        order = range(len(dispatches))
+    for di in order:
+        gi, chunk = dispatches[di]
+        state, sums = scan_step(state, groups[gi], jnp.asarray(chunk), rng)
+        n += len(chunk)
         for key, v in sums.items():
             totals[key] = totals.get(key, 0.0) + v
     stats = {k: float(v) / max(n, 1) for k, v in totals.items()}

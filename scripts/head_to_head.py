@@ -135,6 +135,18 @@ RECIPES = {
     "clam": ("Step3_WSI_classification.py",
              ["--arch", "clam_sb", "--w_loss", "0.7"],
              {"arch": "clam_sb", "w_loss": 0.7}),
+    # generic script, plain-CE recipes (`Step3_WSI_classification.py:118-144`):
+    # transmil exercises the Nystrom/PPEG stack (and, on the reference
+    # side, the wrap-pad semantics — `architecture/transMIL.py:63-66`),
+    # ilra the iterative low-rank attention blocks (ILRA(..., ln=True)),
+    # dsmil the dual-stream 0.5*max-instance + 0.5*bag CE
+    # (`engine.py:41-47`, mirrored by our dsmil family).
+    "transmil": ("Step3_WSI_classification.py", ["--arch", "transmil"],
+                 {"arch": "transmil"}),
+    "ilra": ("Step3_WSI_classification.py", ["--arch", "ilra"],
+             {"arch": "ilra"}),
+    "dsmil": ("Step3_WSI_classification.py", ["--arch", "dsmil"],
+              {"arch": "dsmil"}),
 }
 
 

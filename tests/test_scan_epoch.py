@@ -200,3 +200,58 @@ def test_device_groups_mesh_batch_divisibility(tiny_conf, synthetic_slides):
     loader = BagLoader(src, batch_size=3, min_bucket=64, mesh=mesh)
     with pytest.raises(ValueError, match="divisible"):
         loader.device_groups()
+
+
+def test_interleaved_scan_matches_unchunked(tiny_conf, synthetic_slides):
+    """scan_interleave chunks each group's visit order but must apply the
+    exact same per-bag updates: with shuffle off the realized visit order
+    is identical, so params must match bit-for-bit."""
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides)
+    scan_step = make_scan_train_step(model, conf, family)
+    rng = jax.random.PRNGKey(3)
+
+    l_plain = BagLoader(src, batch_size=1, min_bucket=64, seed=0,
+                        shuffle=False, cache_device=True)
+    l_chunk = BagLoader(src, batch_size=1, min_bucket=64, seed=0,
+                        shuffle=False, cache_device=True)
+    s_plain, _ = train_one_epoch_scanned(state, scan_step, l_plain, rng, 0)
+    s_chunk, _ = train_one_epoch_scanned(state, scan_step, l_chunk, rng, 0,
+                                         interleave=3)
+    assert int(s_chunk.step) == int(s_plain.step)
+    f_p = jax.flatten_util.ravel_pytree(s_plain.params)[0]
+    f_c = jax.flatten_util.ravel_pytree(s_chunk.params)[0]
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_p))
+
+
+def test_interleaved_scan_mixes_groups_and_covers_all_bags(
+        tiny_conf, synthetic_slides):
+    """With shuffle on, interleave>1 must (a) visit every bag exactly
+    once and (b) actually alternate between shape groups within the
+    epoch (the whole point: decorrelate bag length from position)."""
+    conf, src, model, family, state = _setup(tiny_conf, synthetic_slides)
+    loader = BagLoader(src, batch_size=1, min_bucket=64, seed=0,
+                       shuffle=True, cache_device=True)
+    groups = loader.device_groups()
+    if len(groups) < 2:
+        pytest.skip("synthetic corpus landed in one pad bucket")
+
+    calls = []
+
+    def spy_step(st, stacked, perm, rng):
+        # groups are one pad bucket each (batch_size=1), so the stacked
+        # mask shape [k, B, N_pad] identifies the group uniquely
+        gi = next(i for i, g in enumerate(groups)
+                  if g.mask.shape == stacked.mask.shape)
+        calls.append((gi, np.asarray(perm)))
+        return st, {"loss": jnp.zeros(())}
+
+    train_one_epoch_scanned(state, spy_step, loader, jax.random.PRNGKey(0),
+                            0, interleave=4)
+    # coverage: each group's chunks reassemble a full permutation
+    for gi, g in enumerate(groups):
+        seen = np.concatenate([p for i, p in calls if i == gi])
+        assert sorted(seen.tolist()) == list(range(int(g.label.shape[0])))
+    # mixing: the group sequence is not one contiguous block per group
+    seq = [gi for gi, _ in calls]
+    n_transitions = sum(a != b for a, b in zip(seq, seq[1:]))
+    assert n_transitions > len(groups) - 1
