@@ -295,6 +295,19 @@ def soft_target_ce(student, teacher, temp_t=1.0, temp_s=1.0):
     return jnp.mean(jnp.sum(-t * ls, axis=-1))
 
 
+def _mhim_script_tx(conf, sched):
+    """The MHIM script's optimizer (`Step3_MHIM:380`): plain
+    ``torch.optim.Adam(lr, weight_decay=wd)`` — COUPLED L2 decay added
+    to the gradient before the Adam moments, NOT AdamW — and no gradient
+    clipping (the script defines ``--grad_clipping`` but never applies
+    it). Used by both the 'mhim' and 'pure' stages of the protocol."""
+    import optax
+
+    return optax.flatten(optax.chain(
+        optax.add_decayed_weights(float(conf.wd)),
+        optax.adam(sched)))
+
+
 class MHIMFamily(Family):
     """Teacher-EMA training step (`Step3_MHIM:124-161`): teacher forward
     for attention + target feature, student forward with composed masks,
@@ -303,6 +316,9 @@ class MHIMFamily(Family):
     """
 
     name = "mhim"
+
+    def make_tx(self, conf, sched):
+        return _mhim_script_tx(conf, sched)
 
     def make_train_step(self, model, conf):
         return jax.jit(self.make_step_body(model, conf))
@@ -380,7 +396,19 @@ class MHIMFamily(Family):
         return step
 
 
+class PureFamily(Family):
+    """The MHIM script's '--model pure' stage (`Step3_MHIM:312-314`):
+    default CE training semantics, but through the script's coupled-L2
+    Adam optimizer rather than the generic script's AdamW."""
+
+    name = "pure"
+
+    def make_tx(self, conf, sched):
+        return _mhim_script_tx(conf, sched)
+
+
 register_family(MHIMFamily())
+register_family(PureFamily())
 
 
 def _mhim_shared_kwargs(conf):
@@ -417,7 +445,7 @@ def _mhim(conf):
     )
 
 
-@register_model("pure", family="default")
+@register_model("pure", family="pure")
 def _pure(conf):
     """The MHIM 'pure' baseline: the same encoder without masking/teacher
     (`Step3_MHIM:135-137`, used to pre-train teacher checkpoints)."""

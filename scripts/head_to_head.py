@@ -98,6 +98,7 @@ B: 1
 n_worker: 0
 pin_memory: false
 n_shot: -1
+n_token: 1
 data_dir: {work}/data
 split_dir: {work}/splits
 wandb_mode: disabled
@@ -140,25 +141,47 @@ RECIPES = {
     # side, the wrap-pad semantics — `architecture/transMIL.py:63-66`),
     # ilra the iterative low-rank attention blocks (ILRA(..., ln=True)),
     # dsmil the dual-stream 0.5*max-instance + 0.5*bag CE
-    # (`engine.py:41-47`, mirrored by our dsmil family).
+    # (`engine.py:41-47`, mirrored by our dsmil family). NOTE: the
+    # reference's dsmil branch also reads conf.n_token for a diversity
+    # term (`engine.py:51-54`) that no stock config defines — the base
+    # config here sets n_token: 1, which empties that loop on both
+    # sides (the generic script's argparse has no --n_token flag).
     "transmil": ("Step3_WSI_classification.py", ["--arch", "transmil"],
                  {"arch": "transmil"}),
     "ilra": ("Step3_WSI_classification.py", ["--arch", "ilra"],
              {"arch": "ilra"}),
     "dsmil": ("Step3_WSI_classification.py", ["--arch", "dsmil"],
               {"arch": "dsmil"}),
+    # two-stage MHIM protocol (`Step3_WSI_classification_MHIM.py`):
+    # stage A pretrains the 'pure' baseline, stage B trains the MHIM
+    # student with the stage-A best checkpoint as teacher and
+    # init_stu_type=fc (`Step3_MHIM:340-375`). Both stages use the
+    # script's coupled-L2 Adam (`Step3_MHIM:380`). Handled by
+    # run_*_mhim below, not the generic runners.
+    "mhim": (None, None, None),
 }
 
+# reference MHIM-script CLI defaults the h2h relies on
+# (`Step3_MHIM:24-54`): baseline attn, masking h=0.1/hr=0.5, losses
+# cls_alpha=1.0 cl_alpha=0.1, teacher temp 0.1, EMA mm=0.9999. Our side
+# mirrors them explicitly (our module defaults differ where the
+# reference class defaults differ from its CLI defaults).
+MHIM_OURS_SHARED = {"baseline": "attn", "mlp_dim": 128, "dropout": 0.25}
+MHIM_OURS_STAGE_B = {"arch": "mhim", "mask_ratio": 0.0, "mask_ratio_l": 0.0,
+                     "mask_ratio_h": 0.1, "mask_ratio_hr": 0.5,
+                     "cls_alpha": 1.0, "cl_alpha": 0.1, "temp_t": 0.1,
+                     "mm": 0.9999, "init_stu_type": "fc"}
 
-def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
-    script, ref_flags, _ = RECIPES[recipe]
+
+def _run_ref_script(work: str, cfg: str, seed: int, script: str,
+                    flags: list, shim_dir: str) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join([SHIMS, REF])
-    env["WANDB_SHIM_DIR"] = f"{work}/ref_{recipe}_s{seed}"
+    env["WANDB_SHIM_DIR"] = shim_dir
     env["HDF5_USE_FILE_LOCKING"] = "FALSE"
     cmd = [sys.executable, f"{REF}/{script}",
            "--config", cfg, "--seed", str(seed),
-           "--pretrain", "medical_ssl"] + ref_flags
+           "--pretrain", "medical_ssl"] + flags
     out = subprocess.run(cmd, cwd=work, env=env, capture_output=True,
                          text=True, timeout=3600)
     if out.returncode != 0:
@@ -178,9 +201,37 @@ def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
                        f"{out.stdout[-2000:]}")
 
 
-def run_ours(work: str, cfg: str, recipe: str, seed: int,
-             platform: str | None = None) -> dict:
-    _, _, overrides = RECIPES[recipe]
+def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
+    if recipe == "mhim":
+        return run_reference_mhim(work, cfg, seed)
+    script, ref_flags, _ = RECIPES[recipe]
+    return _run_ref_script(work, cfg, seed, script, ref_flags,
+                           shim_dir=f"{work}/ref_{recipe}_s{seed}")
+
+
+def run_reference_mhim(work: str, cfg: str, seed: int) -> dict:
+    """Stage A: `--model pure` pretrain (best ckpt lands in the per-run
+    saved_models dir the script derives from wandb's run dir,
+    `Step3_MHIM:262-264`). Stage B: `--model mhim --init_stu_type fc`
+    with the stage-A checkpoint as teacher. The stage-B best-epoch
+    metrics are the protocol's result (the reference evaluates the
+    STUDENT each epoch, `Step3_MHIM:392-394`)."""
+    pure_root = f"{work}/ref_mhimpure_s{seed}"
+    _run_ref_script(work, cfg, seed, "Step3_WSI_classification_MHIM.py",
+                    ["--model", "pure"], shim_dir=f"{pure_root}/run")
+    ckpt = f"{pure_root}/saved_models/checkpoint-best.pth"
+    if not os.path.exists(ckpt):
+        raise RuntimeError(f"stage-A pure checkpoint missing: {ckpt}")
+    return _run_ref_script(
+        work, cfg, seed, "Step3_WSI_classification_MHIM.py",
+        ["--model", "mhim", "--teacher_init", ckpt,
+         "--init_stu_type", "fc"],
+        shim_dir=f"{work}/ref_mhim_s{seed}/run")
+
+
+def _run_ours_cli(work: str, cfg: str, overrides: dict, cfg_name: str,
+                  seed: int, ckpt_dir: str,
+                  platform: str | None = None) -> dict:
     env = dict(os.environ)
     if platform == "cpu":
         env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -188,7 +239,7 @@ def run_ours(work: str, cfg: str, recipe: str, seed: int,
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")])
     # recipe hyperparams ride via a YAML-override file
-    cfg2 = f"{work}/cfg_{recipe}.yml"
+    cfg2 = f"{work}/{cfg_name}.yml"
     with open(cfg) as f:
         base = f.read()
     with open(cfg2, "w") as f:
@@ -199,7 +250,7 @@ import json, sys
 sys.path.insert(0, {REPO!r})
 from acmil_tpu.cli.train import main
 best = main(["--config", {cfg2!r}, "--seed", "{seed}",
-             "--ckpt_dir", {work!r} + "/ours_{recipe}_s{seed}",
+             "--ckpt_dir", {ckpt_dir!r},
              "--scan_epoch"])
 print("H2H_RESULT " + json.dumps(best))
 """
@@ -216,6 +267,29 @@ print("H2H_RESULT " + json.dumps(best))
                     "test_f1": best["test_f1"], "test_acc": best["test_acc"],
                     "epoch": best["epoch"]}
     raise RuntimeError(f"no result line in our stdout:\n{out.stdout[-2000:]}")
+
+
+def run_ours(work: str, cfg: str, recipe: str, seed: int,
+             platform: str | None = None) -> dict:
+    if recipe == "mhim":
+        return run_ours_mhim(work, cfg, seed, platform)
+    _, _, overrides = RECIPES[recipe]
+    return _run_ours_cli(work, cfg, overrides, f"cfg_{recipe}", seed,
+                         f"{work}/ours_{recipe}_s{seed}", platform)
+
+
+def run_ours_mhim(work: str, cfg: str, seed: int,
+                  platform: str | None = None) -> dict:
+    """Mirror of run_reference_mhim through our CLI: 'pure' pretrain,
+    then arch=mhim with teacher_init pointing at the stage-A checkpoint
+    dir and init_stu_type=fc (cli/train.py::init_teacher_student)."""
+    pure_ckpt = f"{work}/ours_mhimpure_s{seed}"
+    _run_ours_cli(work, cfg, {"arch": "pure", **MHIM_OURS_SHARED},
+                  "cfg_mhimpure", seed, pure_ckpt, platform)
+    overrides = {**MHIM_OURS_SHARED, **MHIM_OURS_STAGE_B,
+                 "teacher_init": pure_ckpt}
+    return _run_ours_cli(work, cfg, overrides, f"cfg_mhim_s{seed}", seed,
+                         f"{work}/ours_mhim_s{seed}", platform)
 
 
 def main():

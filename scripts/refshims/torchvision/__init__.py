@@ -1,3 +1,3 @@
 """torchvision shim: the reference imports `transforms`/`datasets` at module
 scope but the head-to-head path never executes them (feature bags only)."""
-from . import transforms, datasets  # noqa: F401
+from . import transforms, datasets, models  # noqa: F401

@@ -512,3 +512,44 @@ def test_mhim_init_matches_reference_xavier():
     want_std = np.sqrt(2.0 / (k.shape[0] + k.shape[1]))
     np.testing.assert_allclose(k.std(), want_std, rtol=0.15)
     assert np.abs(np.asarray(params["patch_to_emb"]["bias"])).sum() == 0
+
+
+def test_mhim_optimizer_is_coupled_adam():
+    """The MHIM script trains BOTH its stages ('pure' pretrain and the
+    mhim student) with plain ``torch.optim.Adam(lr, weight_decay=wd)``
+    (`Step3_WSI_classification_MHIM.py:380`) — coupled L2, no clipping,
+    unlike every other reference script's AdamW. One make_tx update for
+    the 'mhim' and 'pure' families must equal torch's Adam step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from types import SimpleNamespace
+
+    import acmil_tpu.models.mhim  # noqa: F401 — registers the families
+    from acmil_tpu.engine.families import get_family
+
+    rs = np.random.RandomState(11)
+    lr, wd = 2e-3, 1e-4
+    params = {"patch_to_emb": {"kernel": rs.randn(24, 16).astype(np.float32),
+                               "bias": rs.randn(16).astype(np.float32)},
+              "predictor": {"kernel": rs.randn(16, 2).astype(np.float32) * 4}}
+    grads = jax.tree_util.tree_map(
+        lambda a: rs.randn(*a.shape).astype(np.float32) * 2, params)
+
+    tparams = jax.tree_util.tree_map(
+        lambda a: torch.nn.Parameter(torch.from_numpy(a.copy())), params)
+    tleaves = jax.tree_util.tree_leaves(tparams)
+    for p, g in zip(tleaves, jax.tree_util.tree_leaves(grads)):
+        p.grad = torch.from_numpy(g.copy())
+    torch.optim.Adam(tleaves, lr=lr, weight_decay=wd).step()
+    want = jax.tree_util.tree_map(lambda p: p.detach().numpy(), tparams)
+
+    conf = SimpleNamespace(wd=wd)
+    for family in ("mhim", "pure"):
+        tx = get_family(family).make_tx(conf, lr)
+        jparams = jax.tree_util.tree_map(jnp.asarray, params)
+        state = tx.init(jparams)
+        updates, _ = tx.update(
+            jax.tree_util.tree_map(jnp.asarray, grads), state, jparams)
+        got = optax.apply_updates(jparams, updates)
+        _assert_tree_close(got, want, rtol=2e-5, atol=1e-6)
