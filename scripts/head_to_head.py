@@ -11,6 +11,10 @@ The reference's missing deps (timm/torchmetrics/wandb/torchvision) are
 satisfied by minimal shims (scripts/refshims) — the shims only cover
 what the feature-bag training path touches.
 
+Recipes: abmil, acmil (ACMIL script); dtfd (two-tier two-optimizer
+script); clam, transmil, ilra, dsmil (generic script); mhim (the
+two-stage MHIM protocol: pure pretrain -> teacher-init fc student).
+
 Usage:
     python scripts/head_to_head.py [--work DIR] [--epochs N]
         [--recipes abmil,acmil] [--seeds 1,4]
@@ -146,8 +150,13 @@ RECIPES = {
     # term (`engine.py:51-54`) that no stock config defines — the base
     # config here sets n_token: 1, which empties that loop on both
     # sides (the generic script's argparse has no --n_token flag).
+    # min_bucket 256 (vs the shared 2048): the torch reference runs
+    # each bag at its natural length, while a 2048 floor pads every
+    # 200-1200-patch bag to 2048 Nystrom tokens — pure CPU waste on the
+    # h2h box (padding is mask-inert; tests/test_model_zoo.py). Buckets
+    # then track bag length like the reference does.
     "transmil": ("Step3_WSI_classification.py", ["--arch", "transmil"],
-                 {"arch": "transmil"}),
+                 {"arch": "transmil", "min_bucket": 256}),
     "ilra": ("Step3_WSI_classification.py", ["--arch", "ilra"],
              {"arch": "ilra"}),
     "dsmil": ("Step3_WSI_classification.py", ["--arch", "dsmil"],
@@ -183,7 +192,7 @@ def _run_ref_script(work: str, cfg: str, seed: int, script: str,
            "--config", cfg, "--seed", str(seed),
            "--pretrain", "medical_ssl"] + flags
     out = subprocess.run(cmd, cwd=work, env=env, capture_output=True,
-                         text=True, timeout=3600)
+                         text=True, timeout=7200)
     if out.returncode != 0:
         raise RuntimeError(f"reference run failed:\n{out.stdout[-2000:]}"
                            f"\n{out.stderr[-4000:]}")
@@ -255,7 +264,7 @@ best = main(["--config", {cfg2!r}, "--seed", "{seed}",
 print("H2H_RESULT " + json.dumps(best))
 """
     out = subprocess.run([sys.executable, "-c", code], cwd=work, env=env,
-                         capture_output=True, text=True, timeout=3600)
+                         capture_output=True, text=True, timeout=7200)
     if out.returncode != 0:
         raise RuntimeError(f"our run failed:\n{out.stdout[-2000:]}"
                            f"\n{out.stderr[-4000:]}")
