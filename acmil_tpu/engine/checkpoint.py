@@ -146,7 +146,8 @@ def save_best_and_last(mgr: CheckpointManager, state, epoch: int, conf,
     record (`Step3_ACMIL:156-170`)."""
     from acmil_tpu.engine.train import is_better
 
-    if is_better(val_metrics, best):
+    if is_better(val_metrics, best,
+                 str(getattr(conf, "selection_f1", "macro"))):
         best = dict(val_metrics)
         best["epoch"] = epoch
         mgr.save("best", state, epoch, conf, val_metrics)

@@ -378,13 +378,26 @@ def evaluate_scanned(params, scan_eval_step, loader, n_class: int) -> Dict[str, 
     return _finalize_metrics(probs_h, valid_h, labels_h, n_class)
 
 
-def is_better(metrics: Dict[str, float], best: Dict[str, float]) -> bool:
+def is_better(metrics: Dict[str, float], best: Dict[str, float],
+              selection_f1: str = "macro") -> bool:
     """Reference selection rule: val F1 + val AUC (`Step3_ACMIL:156-165`).
     NaN metrics (e.g. single-class val split) count as 0 so a best
-    checkpoint always gets written."""
+    checkpoint always gets written.
+
+    ``selection_f1`` picks the F1 definition entering the rule: the
+    generic trainer's is macro (`engine.py:213` ``average='macro'``),
+    but the ACMIL/DTFD/MHIM scripts rely on torchmetrics' default micro
+    (`Step3_ACMIL:279`, `Step3_DTFD:243`, `Step3_MHIM:216`) — and for
+    single-label classification micro-F1 equals accuracy, so 'micro'
+    scores ``acc + auc``. On close seeds the two rules can select
+    different best epochs; head-to-head runs set this per recipe."""
+    if selection_f1 not in ("macro", "micro"):
+        raise ValueError(f"selection_f1 must be macro|micro, "
+                         f"got {selection_f1!r}")
+    key = "f1" if selection_f1 == "macro" else "acc"
 
     def score(m):
-        f1, auc = m.get("f1", -1.0), m.get("auc", -1.0)
+        f1, auc = m.get(key, -1.0), m.get("auc", -1.0)
         f1 = 0.0 if np.isnan(f1) else f1
         auc = 0.0 if np.isnan(auc) else auc
         return f1 + auc

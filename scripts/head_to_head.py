@@ -120,20 +120,24 @@ RECIPES = {
     # n_token/n_masked_patch/mask_drop (reference README.md:51-58);
     # dtfd exercises the reference's SEPARATE two-tier two-optimizer
     # protocol (`Step3_WSI_classification_DTFD.py:131-148`).
+    # selection_f1 matches each reference script's best-epoch rule: the
+    # ACMIL/DTFD/MHIM scripts rely on torchmetrics' default micro-F1
+    # (≡ accuracy for single-label), the generic trainer passes
+    # average='macro' (`engine.py:213`) — see engine/train.py::is_better.
     "abmil": ("Step3_WSI_classification_ACMIL.py",
               ["--arch", "ga", "--n_token", "1", "--n_masked_patch", "0",
                "--mask_drop", "0.0"],
               {"arch": "ga", "n_token": 1, "n_masked_patch": 0,
-               "mask_drop": 0.0}),
+               "mask_drop": 0.0, "selection_f1": "micro"}),
     "acmil": ("Step3_WSI_classification_ACMIL.py",
               ["--arch", "ga", "--n_token", "5", "--n_masked_patch", "10",
                "--mask_drop", "0.6"],
               {"arch": "ga", "n_token": 5, "n_masked_patch": 10,
-               "mask_drop": 0.6}),
+               "mask_drop": 0.6, "selection_f1": "micro"}),
     "dtfd": ("Step3_WSI_classification_DTFD.py",
              ["--numGroup", "4", "--total_instance", "4"],
              {"arch": "dtfd", "numGroup": 4, "total_instance": 4,
-              "grad_clipping": 5}),
+              "grad_clipping": 5, "selection_f1": "micro"}),
     # generic script, CLAM_SB with the instance-clustering loss active
     # (w_loss 0.7: `engine.py:101` total = w*bag + (1-w)*instance; the
     # script's CLI default 1.0 would disable the instance term)
@@ -175,7 +179,8 @@ RECIPES = {
 # cls_alpha=1.0 cl_alpha=0.1, teacher temp 0.1, EMA mm=0.9999. Our side
 # mirrors them explicitly (our module defaults differ where the
 # reference class defaults differ from its CLI defaults).
-MHIM_OURS_SHARED = {"baseline": "attn", "mlp_dim": 128, "dropout": 0.25}
+MHIM_OURS_SHARED = {"baseline": "attn", "mlp_dim": 128, "dropout": 0.25,
+                    "selection_f1": "micro"}
 MHIM_OURS_STAGE_B = {"arch": "mhim", "mask_ratio": 0.0, "mask_ratio_l": 0.0,
                      "mask_ratio_h": 0.1, "mask_ratio_hr": 0.5,
                      "cls_alpha": 1.0, "cl_alpha": 0.1, "temp_t": 0.1,
@@ -245,6 +250,10 @@ def _run_ours_cli(work: str, cfg: str, overrides: dict, cfg_name: str,
     if platform == "cpu":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
+        # the fused Pallas pooling only interprets (slowly) off-TPU; the
+        # unfused graph is step-equivalent (test_attn_pool.py fused↔unfused
+        # equality tests), so CPU h2h runs train on it
+        overrides = {**overrides, "fused_train": False}
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")])
     # recipe hyperparams ride via a YAML-override file

@@ -1,14 +1,19 @@
-"""Minimal torchmetrics shim backed by sklearn, matching the defaults the
+"""Minimal torchmetrics shim backed by sklearn, matching the semantics the
 reference scripts rely on: multiclass AUROC (macro one-vs-rest) and
-multiclass F1 (micro average)."""
+multiclass F1 honoring the ``average`` kwarg — torchmetrics' default is
+micro (what `Step3_ACMIL:279`, `Step3_DTFD:243`, `Step3_MHIM:216` get),
+while the generic trainer passes ``average='macro'`` explicitly
+(`engine.py:213`)."""
 import numpy as np
 import torch
 from sklearn.metrics import f1_score, roc_auc_score
 
 
 class _Metric:
-    def __init__(self, num_classes=2, task="multiclass", **kw):
+    def __init__(self, num_classes=2, task="multiclass", average="micro",
+                 **kw):
         self.num_classes = num_classes
+        self.average = average
         self._preds, self._targets = [], []
 
     def to(self, device):
@@ -33,4 +38,4 @@ class AUROC(_Metric):
 
 class F1Score(_Metric):
     def _value(self, p, t):
-        return f1_score(t, p.argmax(axis=1), average="micro")
+        return f1_score(t, p.argmax(axis=1), average=self.average)

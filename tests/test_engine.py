@@ -67,6 +67,17 @@ def test_is_better():
     assert not is_better({"f1": 0.5, "auc": 0.5}, {"f1": 0.6, "auc": 0.8})
 
 
+def test_is_better_selection_f1_micro():
+    """micro-F1 ≡ accuracy for single-label tasks, so 'micro' scores
+    acc + auc (torchmetrics-default rule of `Step3_ACMIL:279`)."""
+    cur = {"f1": 0.5, "acc": 0.9, "auc": 0.8}
+    best = {"f1": 0.8, "acc": 0.6, "auc": 0.8}
+    assert not is_better(cur, best, "macro")   # 1.3 < 1.6 on macro-F1
+    assert is_better(cur, best, "micro")       # 1.7 > 1.4 on acc
+    with pytest.raises(ValueError):
+        is_better(cur, best, "weighted")
+
+
 @pytest.mark.parametrize("arch", ["ga", "abmil"])
 def test_end_to_end_training(tmp_path, tiny_conf, arch):
     """The minimum end-to-end slice: bags → model → jit train → AUC."""
