@@ -124,14 +124,55 @@ class ACMILFamily(Family):
 class CLAMFamily(Family):
     """Bag CE mixed with the instance clustering loss
     (`engine.py:99-116`: ``w_loss * bag + (1 - w_loss) * instance``).
-    The model needs labels for in/out-of-class instance supervision."""
+    The model needs labels for in/out-of-class instance supervision.
+
+    Fused routing (VERDICT r3 item 2): CLAM's ``Attn_Net_Gated`` is the
+    same gated-attention computation as the Pallas pooling kernel
+    (`architecture/clam.py:46-67`), so eval always runs fused
+    (deterministic — dropout off), and training runs fused when
+    ``droprate: 0`` and the instance loss is CE (the reference default
+    trains with dropout 0.25, which keeps model.apply). MB's softmax_one
+    pooling uses the phantom-logit kernel variant. Mesh runs keep
+    model.apply (the bare kernel cannot consume sharded operands)."""
 
     name = "clam"
 
+    def conf_dict(self, conf):
+        d = super().conf_dict(conf)
+        d["fused"] = (bool(conf.extra.get("fused_train", True))
+                      and float(getattr(conf, "droprate", 0.25)) == 0.0
+                      and str(getattr(conf, "inst_loss", "ce")) == "ce")
+        d["k_sample"] = int(getattr(conf, "k_sample", 8))
+        sub = getattr(conf, "subtyping", None)
+        d["subtyping"] = (conf.n_class > 2) if sub is None else bool(sub)
+        return d
+
+    @staticmethod
+    def _fused_kw(conf_d):
+        return dict(n_class=conf_d["n_class"], k_sample=conf_d["k_sample"],
+                    subtyping=conf_d["subtyping"])
+
     def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
+        if conf_d.get("fused") and conf_d.get("mesh") is None:
+            from acmil_tpu.models.fast import clam_apply_fused, clam_is_fusable
+
+            if clam_is_fusable(params):
+                return clam_apply_fused(params, bag.feats, bag.mask,
+                                        label=bag.label, instance_eval=True,
+                                        **self._fused_kw(conf_d))
         return apply_fn({"params": params}, bag.feats, bag.mask,
                         label=bag.label, instance_eval=True,
                         deterministic=False, rngs=rngs)
+
+    def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
+                     mesh=None):
+        if fused and mesh is None:
+            from acmil_tpu.models.fast import clam_apply_fused, clam_is_fusable
+
+            if clam_is_fusable(params):
+                return clam_apply_fused(params, bag.feats, bag.mask,
+                                        n_class=0)
+        return super().eval_outputs(apply_fn, params, bag)
 
     def loss(self, outputs, bag, valid, conf_d):
         logits, inst_loss = outputs["logits"], outputs["instance_loss"]
@@ -166,7 +207,15 @@ class DSMILFamily(Family):
         loss = ce + conf_d["w_loss"] * div
         return loss, {"ce_loss": ce, "diff_loss": div}
 
-    def eval_outputs(self, apply_fn, params, bag):
+    def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
+                     mesh=None):
+        # fused bag-head pooling (ops/dsmil_pool.py) for the generic
+        # trainer's nonlinear=False build; mesh runs keep model.apply
+        if fused and mesh is None:
+            from acmil_tpu.models.fast import dsmil_eval_fused, dsmil_is_fusable
+
+            if dsmil_is_fusable(params):
+                return dsmil_eval_fused(params, bag.feats, bag.mask)
         out = apply_fn({"params": params}, bag.feats, bag.mask,
                        deterministic=True)
         return self._max_inst(out, bag)

@@ -184,11 +184,15 @@ class CLAM_MB(_CLAMBase):
 
 @register_model("clam_sb", family="clam")
 def _clam_sb(conf):
+    # droprate configurable so `droprate: 0` can take the fused train
+    # path (reference default = dropout 0.25, `clam.py:86`)
     return CLAM_SB(n_class=conf.n_class, d_inner=conf.D_inner,
+                   droprate=float(getattr(conf, "droprate", 0.25)),
                    inst_loss=str(getattr(conf, "inst_loss", "ce")))
 
 
 @register_model("clam_mb", family="clam")
 def _clam_mb(conf):
     return CLAM_MB(n_class=conf.n_class, d_inner=conf.D_inner,
+                   droprate=float(getattr(conf, "droprate", 0.25)),
                    inst_loss=str(getattr(conf, "inst_loss", "ce")))

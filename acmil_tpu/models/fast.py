@@ -59,8 +59,10 @@ def acmil_ga_infer(params, feats, mask, chunk: int = 1024,
     matching `ACMIL_GA.__call__` on a batch of one.
     """
     dr, v, bv, u, bu, w, bw = _ga_weights(params)
+    zb1 = jnp.zeros((dr.shape[1],), jnp.float32)
     bag, logits = fused_gated_attn_pool(
-        feats, mask, dr, v, bv, u, bu, w, bw, chunk=chunk, interpret=interpret)
+        feats, mask, dr, zb1, v, bv, u, bu, w, bw, chunk=chunk,
+        interpret=interpret)
     # branch classifiers (stacked)
     sub = jnp.einsum("kl,klc->kc", bag, params["branch_w"]) + params["branch_b"]
     # slide classifier on the branch-mean bag feature: mean-of-softmax
@@ -75,8 +77,10 @@ def abmil_infer(params, feats, mask, chunk: int = 1024,
                 interpret: bool = False):
     """Fused ABMIL deterministic forward (K=1)."""
     dr, v, bv, u, bu, w, bw = _ga_weights(params)
+    zb1 = jnp.zeros((dr.shape[1],), jnp.float32)
     bag, logits = fused_gated_attn_pool(
-        feats, mask, dr, v, bv, u, bu, w, bw, chunk=chunk, interpret=interpret)
+        feats, mask, dr, zb1, v, bv, u, bu, w, bw, chunk=chunk,
+        interpret=interpret)
     cls = params["Classifier1fc_0"]["Dense_0"]
     return bag[0] @ cls["kernel"] + cls["bias"], logits
 
@@ -176,12 +180,13 @@ def acmil_ga_apply_batched(params, feats, mask, chunk: int = 1024,
 
     dr, v, bv, u, bu, w, bw = _ga_weights(params)
     feats = feats.astype(dr.dtype)
+    zb1 = jnp.zeros((dr.shape[1],), jnp.float32)  # bias-free DimReduction
     if mesh is not None:
         bag, logits = sharded_gated_attn_pool_grad(
-            feats, mask, dr, v, bv, u, bu, w, bw, mesh, chunk)
+            feats, mask, dr, zb1, v, bv, u, bu, w, bw, mesh, chunk)
     else:
-        bag, logits = gated_attn_pool_grad(feats, mask, dr, v, bv, u, bu, w,
-                                           bw, chunk)
+        bag, logits = gated_attn_pool_grad(feats, mask, dr, zb1, v, bv, u,
+                                           bu, w, bw, chunk)
     if stkim_rng is not None and n_masked_patch > 0 and mask_drop > 0:
         bag, logits = _stkim_correct(bag, logits, feats, mask, dr,
                                      stkim_rng, n_masked_patch, mask_drop)
@@ -190,3 +195,144 @@ def acmil_ga_apply_batched(params, feats, mask, chunk: int = 1024,
     cls = params["Classifier1fc_0"]["Dense_0"]
     slide = bag_mean @ cls["kernel"] + cls["bias"]
     return sub, slide, logits
+
+
+# ---------------------------------------------------------------------------
+# CLAM through the fused kernel (VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+
+def _clam_weights(params):
+    """CLAM_SB/MB param tree → fused-kernel operands. CLAM's first fc has
+    a bias (`architecture/clam.py:91` stock ``nn.Linear``) — the kernel's
+    ``b1`` — and its ``Attn_Net_Gated`` is the same gated-attention
+    computation the kernel implements (`clam.py:46-67`)."""
+    d0 = params["Dense_0"]
+    ag = params["AttnNetGated_0"]
+    return (d0["kernel"], d0["bias"],
+            ag["Dense_0"]["kernel"], ag["Dense_0"]["bias"],
+            ag["Dense_1"]["kernel"], ag["Dense_1"]["bias"],
+            ag["Dense_2"]["kernel"], ag["Dense_2"]["bias"])
+
+
+def clam_is_fusable(params) -> bool:
+    return "AttnNetGated_0" in params and "Dense_0" in params
+
+
+def _clam_instance_loss(params, feats, mask, label, A, w1, b1h, *,
+                        n_class, k_sample, subtyping):
+    """`_CLAMBase._instance_loss` on kernel outputs: top/bottom-k over the
+    attention rows, h recomputed only for the ≤2k gathered rows per class
+    (the STKIM-correction trick) instead of materialising [B, N, L].
+
+    CE instance loss only — the optional SmoothTop1SVM path keeps
+    model.apply (`inst_loss: svm` is not routed fused)."""
+    from acmil_tpu.models.clam import _binary_ce
+    from acmil_tpu.ops.masked import masked_fill
+
+    wc, bc = params["inst_w"], params["inst_b"]
+    onehot = jax.nn.one_hot(label, n_class)
+    k = k_sample
+
+    def gather_h(idx):                                   # [B, k] -> [B,k,L]
+        x = jax.vmap(lambda f, i: f[i])(feats, idx)
+        return jnp.maximum(x.astype(w1.dtype) @ w1 + b1h, 0.0)
+
+    losses_in, losses_out = [], []
+    for c in range(n_class):
+        Ac = A[:, c] if A.shape[1] > 1 else A[:, 0]      # [B, N]
+        s_p = masked_fill(Ac, mask) if mask is not None else Ac
+        s_n = masked_fill(-Ac, mask) if mask is not None else -Ac
+        _, idx_p = jax.lax.top_k(s_p, k)
+        _, idx_n = jax.lax.top_k(s_n, k)
+        v_p = (jnp.ones(idx_p.shape, bool) if mask is None
+               else jnp.take_along_axis(mask, idx_p, axis=1))
+        v_n = (jnp.ones(idx_n.shape, bool) if mask is None
+               else jnp.take_along_axis(mask, idx_n, axis=1))
+        logit_p = jnp.einsum("bkd,dt->bkt", gather_h(idx_p), wc[c]) + bc[c]
+        logit_n = jnp.einsum("bkd,dt->bkt", gather_h(idx_n), wc[c]) + bc[c]
+        losses_in.append(0.5 * (_binary_ce(logit_p, 1, v_p)
+                                + _binary_ce(logit_n, 0, v_n)))
+        losses_out.append(_binary_ce(logit_p, 0, v_p))
+    in_l = jnp.stack(losses_in, axis=-1)                 # [B, C]
+    out_l = jnp.stack(losses_out, axis=-1)
+    total = jnp.sum(onehot * in_l, axis=-1)
+    if subtyping:
+        total = (total + jnp.sum((1 - onehot) * out_l, axis=-1)) / n_class
+    if mask is not None:
+        valid = mask.any(axis=1).astype(total.dtype)
+        return jnp.sum(total * valid) / jnp.maximum(valid.sum(), 1.0)
+    return jnp.mean(total)
+
+
+def dsmil_is_fusable(params) -> bool:
+    """True for the generic trainer's DSMIL build (nonlinear=False,
+    passing_v=False — `Step3_WSI_classification.py:129-131`); the
+    nonlinear/passing_v variants keep model.apply."""
+    return set(params) == {"Dense_0", "Dense_1", "fcc_w", "fcc_b"}
+
+
+def dsmil_eval_fused(params, feats, mask, chunk: int = 1024):
+    """Fused DSMIL deterministic forward → the family's eval pair
+    (masked-max instance logits, bag logits). Matches ``DSMIL.__call__``
+    (`architecture/dsmil.py:62-98` semantics): instance GEMM + critical
+    argmax in XLA, then the bag stream in one streaming kernel pass
+    (ops/dsmil_pool.py)."""
+    from acmil_tpu.ops.dsmil_pool import fused_dsmil_pool
+    from acmil_tpu.ops.masked import masked_fill, masked_max
+
+    if mask is None:
+        mask = jnp.ones(feats.shape[:2], bool)
+    d0, d1 = params["Dense_0"], params["Dense_1"]
+    feats = feats.astype(d0["kernel"].dtype)
+    inst = feats @ d0["kernel"] + d0["bias"]                 # [B, N, C]
+    crit = jnp.argmax(masked_fill(inst, mask[:, :, None]), axis=1)
+    x_crit = jax.vmap(lambda f, i: f[i])(feats, crit)        # [B, C, D]
+    q_max = x_crit @ d1["kernel"] + d1["bias"]               # [B, C, Q]
+    bag_feat, _ = fused_dsmil_pool(
+        feats, mask, d1["kernel"], d1["bias"], q_max, chunk=chunk,
+        interpret=jax.default_backend() != "tpu")
+    b = feats.shape[0]
+    bag_logits = bag_feat.reshape(b, -1) @ params["fcc_w"].T + params["fcc_b"]
+    return masked_max(inst, mask, axis=1), bag_logits
+
+
+def clam_apply_fused(params, feats, mask, label=None,
+                     instance_eval: bool = False, *, n_class: int,
+                     k_sample: int = 8, subtyping: bool = False,
+                     chunk: int = 1024):
+    """Fused CLAM_SB/MB forward (eval always; train when dropout is off).
+
+    Matches ``CLAM_SB/CLAM_MB.__call__`` on the same param tree
+    (`architecture/clam.py:85,211`): pooling runs the one-pass kernel
+    with CLAM's fc bias as ``b1``; MB's ``softmax_one`` normalisation
+    (`clam.py:248`) runs :func:`gated_attn_pool_grad_one` (phantom-logit
+    online softmax). The returned ``attn`` equals the model's raw
+    attention logits at valid slots (padded slots carry the kernel's
+    mask fill instead of garbage).
+
+    The instance loss gathers ≤2·k_sample rows per class and recomputes
+    their ``h`` — O(K·k), no [B, N, L] materialisation.
+    """
+    from acmil_tpu.ops.attn_pool import (gated_attn_pool_grad,
+                                         gated_attn_pool_grad_one)
+    from acmil_tpu.ops.masked import masked_softmax, softmax_one
+
+    w1, b1h, v, bv, u, bu, w, bw = _clam_weights(params)
+    feats = feats.astype(w1.dtype)
+    multi_branch = "bag_w" in params
+    pool = gated_attn_pool_grad_one if multi_branch else gated_attn_pool_grad
+    M, logits_a = pool(feats, mask, w1, b1h, v, bv, u, bu, w, bw, chunk)
+    if multi_branch:
+        logits = jnp.einsum("bcd,cd->bc", M, params["bag_w"]) + params["bag_b"]
+    else:
+        cls = params["Dense_1"]
+        logits = M[:, 0] @ cls["kernel"] + cls["bias"]
+
+    out = {"logits": logits, "attn": logits_a, "bag_feat": M}
+    if instance_eval:
+        norm = softmax_one if multi_branch else masked_softmax
+        A = norm(logits_a, None if mask is None else mask[:, None, :])
+        out["instance_loss"] = _clam_instance_loss(
+            params, feats, mask, label, A, w1, b1h, n_class=n_class,
+            k_sample=k_sample, subtyping=subtyping)
+    return out

@@ -51,8 +51,8 @@ def _k_out(k: int) -> int:
     return max(8, (k + 7) // 8 * 8)
 
 
-def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
-            w_ref, bw_ref, bag_ref, logits_ref, m_ref, s_ref,
+def _kernel(feats_ref, mask_ref, w1_ref, b1_ref, v_ref, bv_ref, u_ref,
+            bu_ref, w_ref, bw_ref, bag_ref, logits_ref, m_ref, s_ref,
             m_scr, s_scr, acc_scr):
     # grid = (B, n_chunks); chunks iterate fastest, so the running stats
     # reset at the first chunk of every bag
@@ -67,7 +67,8 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
 
     x = feats_ref[0]                                   # [C, Df]
     h = jnp.maximum(jnp.dot(x, w1_ref[:],
-                            preferred_element_type=jnp.float32), 0.0)  # [C, L]
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:], 0.0)                  # [C, L]
     av = jnp.tanh(jnp.dot(h, v_ref[:], preferred_element_type=jnp.float32)
                   + bv_ref[:])
     au = jax.nn.sigmoid(jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
@@ -108,7 +109,9 @@ def _kernel(feats_ref, mask_ref, w1_ref, v_ref, bv_ref, u_ref, bu_ref,
 def fused_gated_attn_pool_batched(
     feats: jnp.ndarray,       # [B, N, Df] float32/bf16
     mask: jnp.ndarray,        # [B, N] bool
-    w1: jnp.ndarray,          # [Df, L]  (bias-free DimReduction)
+    w1: jnp.ndarray,          # [Df, L]
+    b1: jnp.ndarray,          # [L] (zeros for the reference's bias-free
+                              #      DimReduction; CLAM's fc has a bias)
     v: jnp.ndarray,           # [L, A]
     bv: jnp.ndarray,          # [A]
     u: jnp.ndarray,           # [L, A]
@@ -160,6 +163,7 @@ def fused_gated_attn_pool_batched(
             pl.BlockSpec((1, chunk, 1), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((df, l), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((l, a_dim), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, a_dim), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((l, a_dim), const, memory_space=pltpu.VMEM),
@@ -189,26 +193,27 @@ def fused_gated_attn_pool_batched(
             pltpu.VMEM((k_pad, l), jnp.float32),   # weighted accumulator
         ],
         interpret=interpret,
-    )(feats, mask2, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1), w_p, bw_p)
+    )(feats, mask2, w1, b1.reshape(1, -1), v, bv.reshape(1, -1), u,
+      bu.reshape(1, -1), w_p, bw_p)
     if return_stats:
         return (bag[:, :k], logits[:, :k, :n],
                 m_out[:, 0, :k], s_out[:, 0, :k])
     return bag[:, :k], logits[:, :k, :n]
 
 
-def fused_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw,
+def fused_gated_attn_pool(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                           chunk: int = 1024, interpret: bool = False):
     """Single-bag wrapper: feats [N, Df], mask [N] →
     (bag_feats [K, L], attn_logits [K, N])."""
     bag, logits = fused_gated_attn_pool_batched(
-        feats[None], mask[None], w1, v, bv, u, bu, w, bw,
+        feats[None], mask[None], w1, b1, v, bv, u, bu, w, bw,
         chunk=chunk, interpret=interpret)
     return bag[0], logits[0]
 
 
-def gated_attn_pool_reference(feats, mask, w1, v, bv, u, bu, w, bw):
+def gated_attn_pool_reference(feats, mask, w1, b1, v, bv, u, bu, w, bw):
     """jnp reference for testing the kernel."""
-    h = jnp.maximum(feats @ w1, 0.0)
+    h = jnp.maximum(feats @ w1 + b1, 0.0)
     logits = (jnp.tanh(h @ v + bv) * jax.nn.sigmoid(h @ u + bu)) @ w + bw
     logits = jnp.where(mask[:, None], logits, NEG)
     p = jax.nn.softmax(logits, axis=0)
@@ -222,20 +227,21 @@ def gated_attn_pool_reference(feats, mask, w1, v, bv, u, bu, w, bw):
 # Differentiable wrapper + fused backward kernel (VERDICT r1 item 8)
 # ---------------------------------------------------------------------------
 
-def _reference_batched(feats, mask, w1, v, bv, u, bu, w, bw):
+def _reference_batched(feats, mask, w1, b1, v, bv, u, bu, w, bw):
     """vmapped jnp reference with the kernel's output layout
     (bag [B, K, L], logits [B, K, N])."""
     bag, logits = jax.vmap(
         gated_attn_pool_reference,
-        in_axes=(0, 0) + (None,) * 7)(feats, mask, w1, v, bv, u, bu, w, bw)
+        in_axes=(0, 0) + (None,) * 8)(feats, mask, w1, b1, v, bv, u, bu,
+                                      w, bw)
     return bag, logits.transpose(0, 2, 1)
 
 
 def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
-                w1_ref, v_ref, bv_ref, u_ref, bu_ref, w_ref, bw_ref,
-                dx_ref, dw1_ref, dv_ref, dbv_ref, du_ref, dbu_ref,
+                w1_ref, b1_ref, v_ref, bv_ref, u_ref, bu_ref, w_ref, bw_ref,
+                dx_ref, dw1_ref, db1_ref, dv_ref, dbv_ref, du_ref, dbu_ref,
                 dw_ref, dbw_ref,
-                dw1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
+                dw1_s, db1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
     """One chunked pass over x. Softmax-backward coupling uses two
     closed forms instead of extra passes: lse per branch (from the
     emitted logits) reconstructs p, and c_k = sum_l d_bag[k,l]*bag[k,l]
@@ -246,13 +252,14 @@ def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
 
     @pl.when(jnp.logical_and(bi == 0, i == 0))
     def _init():
-        for s in (dw1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
+        for s in (dw1_s, db1_s, dv_s, dbv_s, du_s, dbu_s, dw_s, dbw_s):
             s[:] = jnp.zeros_like(s)
 
     # --- recompute forward intermediates for this chunk --------------------
     x = x_ref[0]                                            # [C, Df]
     h = jnp.maximum(jnp.dot(x, w1_ref[:],
-                            preferred_element_type=jnp.float32), 0.0)
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:], 0.0)
     av_pre = jnp.dot(h, v_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
     au_pre = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32) + bu_ref[:]
     gv, gu = jnp.tanh(av_pre), jax.nn.sigmoid(au_pre)
@@ -291,6 +298,7 @@ def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
     ct = lambda a, b: jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dw1_s[:] += ct(x, r)
+    db1_s[:] += jnp.sum(r, axis=0, keepdims=True)
     dv_s[:] += ct(h, d_av)
     dbv_s[:] += jnp.sum(d_av, axis=0, keepdims=True)
     du_s[:] += ct(h, d_au)
@@ -301,6 +309,7 @@ def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
     @pl.when(last)
     def _emit():
         dw1_ref[:] = dw1_s[:]
+        db1_ref[:] = db1_s[:]
         dv_ref[:] = dv_s[:]
         dbv_ref[:] = dbv_s[:]
         du_ref[:] = du_s[:]
@@ -310,20 +319,20 @@ def _bwd_kernel(x_ref, mask_ref, lse_ref, c_ref, dbag_ref, dlo_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _fused_pool_bwd(feats, mask, w1, v, bv, u, bu, w, bw,
+def _fused_pool_bwd(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                     bag, logits, d_bag, d_logits,
                     chunk: int = 1024, interpret: bool = False):
     # closed forms for the cross-chunk couplings (see _bwd_kernel doc)
     masked_logits = jnp.where(mask[:, None, :], logits, NEG)
     lse = jax.nn.logsumexp(masked_logits, axis=2)             # [B, K]
     c = jnp.sum(d_bag * bag, axis=2)                          # [B, K]
-    return _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
+    return _fused_pool_bwd_stats(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                                  lse, c, d_bag, d_logits,
                                  chunk=chunk, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
+def _fused_pool_bwd_stats(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                           lse, c, d_bag, d_logits,
                           chunk: int = 1024, interpret: bool = False):
     """Backward pass with the softmax couplings supplied externally.
@@ -382,20 +391,23 @@ def _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
             per_bag((1, k_pad, l)),            # d_bag
             pl.BlockSpec((1, chunk, k_pad), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),   # d_logits (token-major)
-            const((df, l)), const((l, a_dim)), const((1, a_dim)),
+            const((df, l)), const((1, l)), const((l, a_dim)),
+            const((1, a_dim)),
             const((l, a_dim)), const((1, a_dim)),
             const((a_dim, k_pad)), const((1, k_pad)),
         ],
         out_specs=[
             pl.BlockSpec((1, chunk, df), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            const((df, l)), const((l, a_dim)), const((1, a_dim)),
+            const((df, l)), const((1, l)), const((l, a_dim)),
+            const((1, a_dim)),
             const((l, a_dim)), const((1, a_dim)),
             const((a_dim, k_pad)), const((1, k_pad)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_full, df), feats.dtype),
             jax.ShapeDtypeStruct((df, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
             jax.ShapeDtypeStruct((l, a_dim), jnp.float32),
             jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
             jax.ShapeDtypeStruct((l, a_dim), jnp.float32),
@@ -405,6 +417,7 @@ def _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
         ],
         scratch_shapes=[
             pltpu.VMEM((df, l), jnp.float32),
+            pltpu.VMEM((1, l), jnp.float32),
             pltpu.VMEM((l, a_dim), jnp.float32),
             pltpu.VMEM((1, a_dim), jnp.float32),
             pltpu.VMEM((l, a_dim), jnp.float32),
@@ -414,15 +427,15 @@ def _fused_pool_bwd_stats(feats, mask, w1, v, bv, u, bu, w, bw,
         ],
         interpret=interpret,
     )(feats32, mask2, lse_p.reshape(b, 1, k_pad), c_p.reshape(b, 1, k_pad),
-      dbag_p, dlo_p, w1, v, bv.reshape(1, -1), u, bu.reshape(1, -1),
-      w_p, bw_p)
-    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = outs
-    return (d_feats[:, :n], dw1, dv, dbv.reshape(-1), du, dbu.reshape(-1),
-            dw[:, :k], dbw[0, :k])
+      dbag_p, dlo_p, w1, b1.reshape(1, -1), v, bv.reshape(1, -1), u,
+      bu.reshape(1, -1), w_p, bw_p)
+    d_feats, dw1, db1, dv, dbv, du, dbu, dw, dbw = outs
+    return (d_feats[:, :n], dw1, db1.reshape(-1), dv, dbv.reshape(-1), du,
+            dbu.reshape(-1), dw[:, :k], dbw[0, :k])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def gated_attn_pool_grad(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                          chunk: int = 1024):
     """Differentiable fused pooling: forward and backward each make ONE
     streaming HBM pass over ``feats`` (the backward recomputes the chunk's
@@ -430,28 +443,82 @@ def gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
     :func:`fused_gated_attn_pool_batched`.
     """
     return fused_gated_attn_pool_batched(
-        feats, mask, w1, v, bv, u, bu, w, bw, chunk=chunk,
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, chunk=chunk,
         interpret=jax.default_backend() != "tpu")
 
 
-def _gap_fwd(feats, mask, w1, v, bv, u, bu, w, bw, chunk):
-    out = gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw, chunk)
+def _gap_fwd(feats, mask, w1, b1, v, bv, u, bu, w, bw, chunk):
+    out = gated_attn_pool_grad(feats, mask, w1, b1, v, bv, u, bu, w, bw,
+                               chunk)
     bag, logits = out
-    return out, (feats, mask, w1, v, bv, u, bu, w, bw, bag, logits)
+    return out, (feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits)
 
 
 def _gap_bwd(chunk, res, g):
-    feats, mask, w1, v, bv, u, bu, w, bw, bag, logits = res
+    feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits = res
     d_bag, d_logits = g
     grads = _fused_pool_bwd(
-        feats, mask, w1, v, bv, u, bu, w, bw, bag, logits,
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits,
         d_bag.astype(jnp.float32), d_logits.astype(jnp.float32),
         chunk=chunk, interpret=jax.default_backend() != "tpu")
-    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = grads
-    return (d_feats.astype(feats.dtype), None, dw1, dv, dbv, du, dbu, dw, dbw)
+    d_feats, dw1, db1, dv, dbv, du, dbu, dw, dbw = grads
+    return (d_feats.astype(feats.dtype), None, dw1, db1, dv, dbv, du, dbu,
+            dw, dbw)
 
 
 gated_attn_pool_grad.defvjp(_gap_fwd, _gap_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def gated_attn_pool_grad_one(feats, mask, w1, b1, v, bv, u, bu, w, bw,
+                             chunk: int = 1024):
+    """:func:`gated_attn_pool_grad` with **softmax_one** normalisation
+    (CLAM_MB, `architecture/clam.py:248` via `utils/utils.py:54`):
+    attention weights are ``exp(a_n) / (1 + Σ_m exp(a_m))`` — a softmax
+    with a phantom logit pinned at 0.
+
+    Same one-pass kernel: the plain-softmax pooled output rescales by
+    ``s / (s + exp(-m))`` from the emitted online-softmax stats, and the
+    backward reuses the standard kernel with the phantom-augmented
+    log-normaliser ``lse₁ = logaddexp(0, lse)`` — the softmax-one
+    Jacobian has the identical ``p·(d_p − c)`` form because
+    ``∂p_i/∂a_j = p_i(δ_ij − p_j)`` holds for both normalisations.
+    """
+    bag, logits, m, s = fused_gated_attn_pool_batched(
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, chunk=chunk,
+        interpret=jax.default_backend() != "tpu", return_stats=True)
+    # bag (plain softmax) = acc / s; softmax-one = acc / (s·1 + exp(0−m))
+    scale = s / jnp.maximum(s + jnp.exp(-m), 1e-30)
+    return bag * scale[..., None], logits
+
+
+def _gap1_fwd(feats, mask, w1, b1, v, bv, u, bu, w, bw, chunk):
+    out = gated_attn_pool_grad_one(feats, mask, w1, b1, v, bv, u, bu, w,
+                                   bw, chunk)
+    bag, logits = out
+    return out, (feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits)
+
+
+def _gap1_bwd(chunk, res, g):
+    feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits = res
+    d_bag, d_logits = g
+    d_bag = d_bag.astype(jnp.float32)
+    masked_logits = jnp.where(mask[:, None, :], logits, NEG)
+    lse = jax.nn.logsumexp(masked_logits, axis=2)              # [B, K]
+    lse_one = jnp.logaddexp(0.0, lse)                # phantom logit at 0
+    # c = Σ_n p_n·d_p_n = Σ_l d_bag·bag — valid for softmax-one too
+    # because bag here already is the softmax-one pooled sum
+    c = jnp.sum(d_bag * bag, axis=2)
+    grads = _fused_pool_bwd_stats(
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, lse_one, c,
+        d_bag, d_logits.astype(jnp.float32),
+        chunk=chunk, interpret=jax.default_backend() != "tpu")
+    d_feats, dw1, db1, dv, dbv, du, dbu, dw, dbw = grads
+    return (d_feats.astype(feats.dtype), None, dw1, db1, dv, dbv, du, dbu,
+            dw, dbw)
+
+
+gated_attn_pool_grad_one.defvjp(_gap1_fwd, _gap1_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -462,12 +529,12 @@ def _shard_specs(data_axis, seq_axis):
     """(in_specs, out_specs) for the sharded pooling shard_maps."""
     from jax.sharding import PartitionSpec as P
 
-    w_specs = (P(None, None), P(None, None), P(None),
+    w_specs = (P(None, None), P(None), P(None, None), P(None),
                P(None, None), P(None), P(None, None), P(None))
     return P, w_specs
 
 
-def _sharded_pool_fwd_impl(feats, mask, w1, v, bv, u, bu, w, bw,
+def _sharded_pool_fwd_impl(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                            mesh, chunk, data_axis, seq_axis):
     """shard_map'd forward: per-shard kernel + flash merge over ``seq``.
 
@@ -489,9 +556,9 @@ def _sharded_pool_fwd_impl(feats, mask, w1, v, bv, u, bu, w, bw,
                    P(data_axis, None)),
         check_vma=False,
     )
-    def run(feats, mask, w1, v, bv, u, bu, w, bw):
+    def run(feats, mask, w1, b1, v, bv, u, bu, w, bw):
         bag, logits, m, s = fused_gated_attn_pool_batched(
-            feats, mask, w1, v, bv, u, bu, w, bw, chunk=chunk,
+            feats, mask, w1, b1, v, bv, u, bu, w, bw, chunk=chunk,
             interpret=interp, return_stats=True)
         m_star = jax.lax.pmax(m, seq_axis)
         wgt = s * jnp.exp(m - m_star)                    # [B, K]
@@ -501,11 +568,11 @@ def _sharded_pool_fwd_impl(feats, mask, w1, v, bv, u, bu, w, bw,
         lse = m_star + jnp.log(jnp.maximum(denom, 1e-30))
         return bag_g, logits, lse
 
-    return run(feats, mask, w1, v, bv, u, bu, w, bw)
+    return run(feats, mask, w1, b1, v, bv, u, bu, w, bw)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def sharded_gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def sharded_gated_attn_pool_grad(feats, mask, w1, b1, v, bv, u, bu, w, bw,
                                  mesh, chunk: int = 1024,
                                  data_axis: str = "data",
                                  seq_axis: str = "seq"):
@@ -536,15 +603,17 @@ def sharded_gated_attn_pool_grad(feats, mask, w1, v, bv, u, bu, w, bw,
     sharded over seq). Weights must be replicated.
     """
     bag, logits, _lse = _sharded_pool_fwd_impl(
-        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis, seq_axis)
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, mesh, chunk, data_axis,
+        seq_axis)
     return bag, logits
 
 
-def _sgap_fwd(feats, mask, w1, v, bv, u, bu, w, bw,
+def _sgap_fwd(feats, mask, w1, b1, v, bv, u, bu, w, bw,
               mesh, chunk, data_axis, seq_axis):
     bag, logits, lse = _sharded_pool_fwd_impl(
-        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis, seq_axis)
-    return (bag, logits), (feats, mask, w1, v, bv, u, bu, w, bw, bag,
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, mesh, chunk, data_axis,
+        seq_axis)
+    return (bag, logits), (feats, mask, w1, b1, v, bv, u, bu, w, bw, bag,
                            logits, lse)
 
 
@@ -553,7 +622,7 @@ def _sgap_bwd(mesh, chunk, data_axis, seq_axis, res, g):
 
     from jax import shard_map
 
-    feats, mask, w1, v, bv, u, bu, w, bw, bag, logits, lse = res
+    feats, mask, w1, b1, v, bv, u, bu, w, bw, bag, logits, lse = res
     d_bag, d_logits = g
     d_bag = d_bag.astype(jnp.float32)
     d_logits = d_logits.astype(jnp.float32)
@@ -568,29 +637,31 @@ def _sgap_bwd(mesh, chunk, data_axis, seq_axis, res, g):
                   P(data_axis, None), P(data_axis, None),
                   P(data_axis, None, None), P(data_axis, None, seq_axis)),
         out_specs=(P(data_axis, seq_axis, None),
-                   *(P(*(None,) * nd) for nd in (2, 2, 1, 2, 1, 2, 1))),
+                   *(P(*(None,) * nd) for nd in (2, 1, 2, 1, 2, 1, 2, 1))),
         check_vma=False,
     )
-    def run(feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits):
+    def run(feats, mask, w1, b1, v, bv, u, bu, w, bw, lse, c, d_bag,
+            d_logits):
         outs = _fused_pool_bwd_stats(
-            feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits,
-            chunk=chunk, interpret=interp)
-        d_feats, dw1, dv, dbv, du, dbu, dw, dbw = outs
+            feats, mask, w1, b1, v, bv, u, bu, w, bw, lse, c, d_bag,
+            d_logits, chunk=chunk, interpret=interp)
+        d_feats, dw1, db1, dv, dbv, du, dbu, dw, dbw = outs
         # weight grads are partial (local batch rows x local patch rows):
         # the cross-shard sum IS the gradient all-reduce
         ps = lambda t: jax.lax.psum(t, (data_axis, seq_axis))
-        return (d_feats, ps(dw1), ps(dv), ps(dbv), ps(du), ps(dbu),
-                ps(dw), ps(dbw))
+        return (d_feats, ps(dw1), ps(db1), ps(dv), ps(dbv), ps(du),
+                ps(dbu), ps(dw), ps(dbw))
 
-    d_feats, dw1, dv, dbv, du, dbu, dw, dbw = run(
-        feats, mask, w1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits)
-    return (d_feats.astype(feats.dtype), None, dw1, dv, dbv, du, dbu, dw, dbw)
+    d_feats, dw1, db1, dv, dbv, du, dbu, dw, dbw = run(
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, lse, c, d_bag, d_logits)
+    return (d_feats.astype(feats.dtype), None, dw1, db1, dv, dbv, du, dbu,
+            dw, dbw)
 
 
 sharded_gated_attn_pool_grad.defvjp(_sgap_fwd, _sgap_bwd)
 
 
-def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
+def sharded_gated_attn_pool(feats, mask, w1, b1, v, bv, u, bu, w, bw, mesh,
                             seq_axis: str = "seq", chunk: int = 1024,
                             data_axis: str = "data"):
     """Non-differentiable alias of :func:`sharded_gated_attn_pool_grad`
@@ -602,6 +673,6 @@ def sharded_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw, mesh,
     if data_axis is not None and data_axis not in mesh.axis_names:
         data_axis = None
     bag, logits, _ = _sharded_pool_fwd_impl(
-        feats, mask, w1, v, bv, u, bu, w, bw, mesh, chunk, data_axis,
+        feats, mask, w1, b1, v, bv, u, bu, w, bw, mesh, chunk, data_axis,
         seq_axis)
     return bag, logits

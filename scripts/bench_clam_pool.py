@@ -1,0 +1,92 @@
+"""CLAM/DSMIL fused-pooling bench: fused kernel vs plain XLA graph.
+
+VERDICT r3 item 2's "done" line: show the win at 16k-64k bags for the
+newly routed heads (CLAM_SB/MB through ops/attn_pool.py with the h-bias,
+DSMIL's bag head through ops/dsmil_pool.py). Run on the real TPU; one
+JSON line per (head, n, path) → BENCH_NOTES.md.
+
+Methodology: chained data-dependent iterations with inner fori_loop
+amortising relay dispatch (see bench.py docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acmil_tpu.config import Config
+from acmil_tpu.data.bags import Bag
+from acmil_tpu.engine import get_family
+from acmil_tpu.models import build_mil_model
+
+
+def _chain_ms(step, x0, inner, k0=4, k1=24, reps=3):
+    def chain(k):
+        x, out = x0, None
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x, out = step(x)
+        float(out.reshape(-1)[0])
+        return time.perf_counter() - t0
+
+    chain(2)
+    per = [(chain(k1) - chain(k0)) / (k1 - k0) for _ in range(reps)]
+    return float(np.median(per)) * 1e3 / inner
+
+
+def bench_head(arch: str, n_pad: int, d: int = 384, inner: int = 32):
+    conf = Config(n_class=2, D_feat=d, D_inner=128, arch=arch,
+                  lr=1e-3, train_epoch=1)
+    conf.extra["droprate"] = 0.0
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (1, n_pad, d), jnp.float32)
+    mask = jnp.arange(n_pad)[None] < int(n_pad * 0.9)
+    params = model.init({"params": rng}, feats, mask)["params"]
+    bag = Bag(feats=feats, mask=mask,
+              coords=jnp.zeros((1, n_pad, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+
+    results = {}
+    for fused in (True, False):
+        @jax.jit
+        def step(f, fused=fused):
+            def body(_, carry):
+                f, _o = carry
+                out = fam.eval_outputs(model.apply, params,
+                                       bag.replace(feats=f), fused=fused)
+                probs = fam.probs(out)
+                return f * (1.0 + 0.0 * probs[0, 0]), probs
+
+            return jax.lax.fori_loop(
+                0, inner, body, (f, jnp.zeros((1, 2), f.dtype)))
+
+        ms = _chain_ms(step, feats, inner)
+        results[fused] = ms
+        print(json.dumps({
+            "metric": f"{arch}_eval_{'fused' if fused else 'xla'}_{n_pad}",
+            "value": round(ms, 4), "unit": "ms/slide"}), flush=True)
+    print(json.dumps({
+        "metric": f"{arch}_fused_speedup_{n_pad}",
+        "value": round(results[False] / results[True], 2),
+        "unit": "x"}), flush=True)
+
+
+def main():
+    for arch in ("clam_sb", "clam_mb", "dsmil"):
+        for n in (16384, 65536):
+            bench_head(arch, n)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from acmil_tpu.ops.attn_pool import fused_gated_attn_pool, gated_attn_pool_refer
 def _weights(rs, df=64, l=32, a=32, k=5):
     return (
         jnp.asarray(rs.randn(df, l) * 0.1, jnp.float32),
+        jnp.asarray(rs.randn(l) * 0.1, jnp.float32),     # h-bias (CLAM fc)
         jnp.asarray(rs.randn(l, a) * 0.2, jnp.float32),
         jnp.asarray(rs.randn(a) * 0.1, jnp.float32),
         jnp.asarray(rs.randn(l, a) * 0.2, jnp.float32),
@@ -27,10 +28,11 @@ def test_kernel_matches_reference():
     n, df = 512, 64
     feats = jnp.asarray(rs.randn(n, df), jnp.float32)
     mask = jnp.asarray(rs.rand(n) < 0.8)
-    w1, v, bv, u, bu, w, bw = _weights(rs, df=df)
-    bag, logits = fused_gated_attn_pool(feats, mask, w1, v, bv, u, bu, w, bw,
-                                        chunk=128, interpret=True)
-    bag_r, logits_r = gated_attn_pool_reference(feats, mask, w1, v, bv, u, bu, w, bw)
+    w1, b1, v, bv, u, bu, w, bw = _weights(rs, df=df)
+    bag, logits = fused_gated_attn_pool(feats, mask, w1, b1, v, bv, u, bu,
+                                        w, bw, chunk=128, interpret=True)
+    bag_r, logits_r = gated_attn_pool_reference(feats, mask, w1, b1, v, bv,
+                                                u, bu, w, bw)
     m = np.asarray(mask)
     np.testing.assert_allclose(np.asarray(logits)[:, m], np.asarray(logits_r)[m].T,
                                rtol=1e-4, atol=1e-4)
@@ -116,7 +118,7 @@ def test_kernel_more_than_8_branches():
     feats = jnp.asarray(rs.randn(n, df), jnp.float32)
     mask = jnp.asarray(rs.rand(n) < 0.9)
     ws = [jnp.asarray(rs.randn(*s) * 0.3, jnp.float32)
-          for s in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+          for s in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
     bag, logits = fused_gated_attn_pool(feats, mask, *ws, chunk=128,
                                         interpret=True)
     ref_bag, ref_logits = gated_attn_pool_reference(feats, mask, *ws)
@@ -140,7 +142,7 @@ def test_gated_attn_pool_grad_matches_reference():
     feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
     mask = jnp.asarray(rs.rand(b, n) < 0.8)
     ws = [jnp.asarray(rs.randn(*s) * 0.3, jnp.float32)
-          for s in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+          for s in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
 
     def loss_fused(feats, *ws):
         bag, logits = gated_attn_pool_grad(feats, mask, *ws, 128)
@@ -264,7 +266,7 @@ def test_sharded_pool_matches_single_device():
     mask[0, 256:512] = False
     mask = jnp.asarray(mask)
     ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
-          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+          for sh in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
 
     ref_bag, ref_logits = fused_gated_attn_pool_batched(
         feats, mask, *ws, chunk=256, interpret=True)
@@ -294,7 +296,7 @@ def test_sharded_pool_seq_only_mesh():
     feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
     mask = jnp.asarray(rs.rand(b, n) < 0.8)
     ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
-          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+          for sh in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
     ref_bag, _ = fused_gated_attn_pool_batched(feats, mask, *ws,
                                                chunk=128, interpret=True)
     with mesh:
@@ -391,7 +393,7 @@ def test_sharded_pool_grad_matches_reference():
     mask[1, 256:] = False        # empties bag 1's second seq shard
     mask = jnp.asarray(mask)
     ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
-          for sh in [(df, l), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+          for sh in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
 
     def loss_sharded(feats, *ws):
         bag, logits = sharded_gated_attn_pool_grad(feats, mask, *ws,
@@ -494,8 +496,10 @@ def test_stkim_correction_matches_direct_softmax():
     feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
     mask = jnp.asarray(rs.rand(b, n) < 0.8)
     # scale the last projection up to sharpen the attention distribution
+    # b1 = 0: _stkim_correct recomputes the bias-free GA h
     ws = [jnp.asarray(rs.randn(*sh) * s, jnp.float32)
-          for sh, s in [((df, l), 0.3), ((l, a), 0.5), ((a,), 0.1),
+          for sh, s in [((df, l), 0.3), ((l,), 0.0), ((l, a), 0.5),
+                        ((a,), 0.1),
                         ((l, a), 0.5), ((a,), 0.1), ((a, k), 3.0),
                         ((k,), 0.1)]]
     bag, logits = fused_gated_attn_pool_batched(feats, mask, *ws,
@@ -536,7 +540,8 @@ def test_stkim_correction_extreme_logit_gap_takes_exact_path():
     # last projection scaled so logits span tens of nats: dropping the
     # top-k then towers lse_full far above the kept maximum
     ws = [jnp.asarray(rs.randn(*sh) * s, jnp.float32)
-          for sh, s in [((df, l), 0.3), ((l, a), 1.0), ((a,), 0.1),
+          for sh, s in [((df, l), 0.3), ((l,), 0.0), ((l, a), 1.0),
+                        ((a,), 0.1),
                         ((l, a), 1.0), ((a,), 0.1), ((a, k), 40.0),
                         ((k,), 0.1)]]
     bag, logits = fused_gated_attn_pool_batched(feats, mask, *ws,
@@ -566,3 +571,185 @@ def test_stkim_correction_extreme_logit_gap_takes_exact_path():
     np.testing.assert_allclose(np.asarray(bag2), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
     assert np.isfinite(np.asarray(bag2)).all()
+
+
+def test_softmax_one_kernel_variant_matches_reference():
+    """gated_attn_pool_grad_one (CLAM_MB's softmax_one pooling): value and
+    gradients equal the jnp softmax_one formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.ops.attn_pool import (gated_attn_pool_grad_one,
+                                         gated_attn_pool_reference)
+
+    rs = np.random.RandomState(2)
+    b, n, df, l, a, k = 2, 512, 32, 16, 16, 3
+    feats = jnp.asarray(rs.randn(b, n, df), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    ws = [jnp.asarray(rs.randn(*sh) * 0.3, jnp.float32)
+          for sh in [(df, l), (l,), (l, a), (a,), (l, a), (a,), (a, k), (k,)]]
+
+    def ref_one(feats, *ws):
+        w1, b1, v, bv, u, bu, w, bw = ws
+
+        def per_bag(x, m):
+            h = jnp.maximum(x @ w1 + b1, 0.0)
+            logits = (jnp.tanh(h @ v + bv) * jax.nn.sigmoid(h @ u + bu)) @ w + bw
+            lg = jnp.where(m[:, None], logits, -jnp.inf)
+            # softmax_one: phantom logit pinned at 0 (utils/utils.py:54)
+            p = jnp.exp(lg - jax.nn.logsumexp(
+                jnp.concatenate([lg, jnp.zeros((1, lg.shape[1]))], 0),
+                axis=0))
+            return p.T @ h, logits
+
+        bag, logits = jax.vmap(per_bag)(feats, mask)
+        return bag, logits.transpose(0, 2, 1)
+
+    def loss_fused(feats, *ws):
+        bag, logits = gated_attn_pool_grad_one(feats, mask, *ws, 128)
+        return (bag ** 2).sum() + 1e-3 * jnp.where(
+            mask[:, None], jnp.tanh(logits), 0.0).sum()
+
+    def loss_ref(feats, *ws):
+        bag, logits = ref_one(feats, *ws)
+        return (bag ** 2).sum() + 1e-3 * jnp.where(
+            mask[:, None], jnp.tanh(logits), 0.0).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3, 7))(feats, *ws)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 7))(feats, *ws)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def _clam_fused_case(arch, fused):
+    """Build a CLAM model/family pair and return (loss, grad leaves,
+    eval outputs) under the given fused flag (droprate 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.engine.train import _conf_dict
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(6)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 256) < 0.8),
+              coords=jnp.zeros((2, 256, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    rng = jax.random.PRNGKey(0)
+    valid = bag.mask.any(axis=1)
+    conf = Config(n_class=2, D_feat=32, D_inner=16, arch=arch,
+                  lr=1e-3, train_epoch=1)
+    conf.extra["droprate"] = 0.0
+    conf.extra["fused_train"] = fused
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    conf_d = _conf_dict(fam, conf)
+    assert conf_d.get("fused", False) == fused
+    params = model.init({"params": rng}, bag.feats, bag.mask)["params"]
+
+    def loss_fn(params):
+        outputs = fam.train_outputs(model.apply, params, bag,
+                                    {"dropout": rng}, conf_d)
+        loss, _ = fam.loss(outputs, bag, valid, conf_d)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    ev = fam.eval_outputs(model.apply, params, bag, fused=fused)
+    return (float(loss), jax.tree_util.tree_leaves(grads), ev, bag)
+
+
+def test_clam_fused_train_step_matches_unfused():
+    """CLAMFamily fused_train (droprate 0): loss incl. the instance
+    clustering term and all gradients equal model.apply — SB (masked
+    softmax) and MB (softmax_one + per-class heads)."""
+    for arch in ["clam_sb", "clam_mb"]:
+        (l0, g0, ev0, bag) = _clam_fused_case(arch, fused=False)
+        (l1, g1, ev1, _) = _clam_fused_case(arch, fused=True)
+        np.testing.assert_allclose(l0, l1, rtol=2e-4,
+                                   err_msg=f"{arch} loss")
+        for a0, a1 in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                       rtol=3e-3, atol=3e-5,
+                                       err_msg=f"{arch} grads")
+        # eval outputs: logits + bag features match; attention matches at
+        # valid slots (the kernel masks padded slots, the model returns
+        # raw scores there)
+        np.testing.assert_allclose(np.asarray(ev0["logits"]),
+                                   np.asarray(ev1["logits"]),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ev0["bag_feat"]),
+                                   np.asarray(ev1["bag_feat"]),
+                                   rtol=2e-3, atol=2e-4)
+        m = np.asarray(bag.mask)
+        a0 = np.asarray(ev0["attn"])
+        a1 = np.asarray(ev1["attn"])
+        for i in range(m.shape[0]):
+            np.testing.assert_allclose(a0[i][:, m[i]], a1[i][:, m[i]],
+                                       rtol=2e-3, atol=2e-4)
+
+
+def test_dsmil_pool_kernel_matches_reference():
+    """ops/dsmil_pool.py streaming kernel vs the jnp formulation,
+    including a multi-chunk online softmax and masked rows."""
+    from acmil_tpu.ops.dsmil_pool import (dsmil_pool_reference,
+                                          fused_dsmil_pool)
+
+    rs = np.random.RandomState(3)
+    b, n, d, q, c = 2, 512, 48, 16, 3
+    feats = jnp.asarray(rs.randn(b, n, d), jnp.float32)
+    mask = jnp.asarray(rs.rand(b, n) < 0.8)
+    wq = jnp.asarray(rs.randn(d, q) * 0.3, jnp.float32)
+    bq = jnp.asarray(rs.randn(q) * 0.1, jnp.float32)
+    q_max = jnp.asarray(rs.randn(b, c, q), jnp.float32)
+
+    bag_k, a_k = fused_dsmil_pool(feats, mask, wq, bq, q_max, chunk=128,
+                                  interpret=True)
+    bag_r, a_r = dsmil_pool_reference(feats, mask, wq, bq, q_max)
+    np.testing.assert_allclose(np.asarray(bag_k), np.asarray(bag_r),
+                               rtol=1e-4, atol=1e-4)
+    m = np.asarray(mask)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(a_k)[i][:, m[i]],
+                                   np.asarray(a_r)[i][:, m[i]],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dsmil_fused_eval_matches_model():
+    """DSMILFamily.eval_outputs routes the generic-trainer build through
+    the fused bag-head kernel; (max-inst, bag-logits) and the resulting
+    eval probabilities must match model.apply."""
+    import jax
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.models import build_mil_model
+
+    rs = np.random.RandomState(8)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 300, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 300) < 0.8),
+              coords=jnp.zeros((2, 300, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    conf = Config(n_class=2, D_feat=32, D_inner=16, arch="dsmil",
+                  lr=1e-3, train_epoch=1)
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        bag.feats, bag.mask)["params"]
+
+    from acmil_tpu.models.fast import dsmil_is_fusable
+    assert dsmil_is_fusable(params)
+
+    out_f = fam.eval_outputs(model.apply, params, bag, fused=True)
+    out_p = fam.eval_outputs(model.apply, params, bag, fused=False)
+    for a, b_ in zip(out_f, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fam.probs(out_f)),
+                               np.asarray(fam.probs(out_p)),
+                               rtol=2e-4, atol=2e-5)
