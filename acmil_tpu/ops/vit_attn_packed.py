@@ -79,9 +79,15 @@ def _packed_impl(qkv, heads, q_chunk: int = 256):
     b, n, three_d = qkv.shape
     d = three_d // 3
     # N_pad must be a multiple of q_chunk: a ragged final chunk would have
-    # its dynamic-slice start clamped and read the WRONG rows
-    q_chunk = min(q_chunk, _round_up(n, 128))
-    n_pad = _round_up(n, q_chunk)
+    # its dynamic-slice start clamped and read the WRONG rows. Pad to the
+    # 128-lane granule FIRST and pick the largest 64-aligned divisor ≤384
+    # as q_chunk — padding N up to a q_chunk multiple instead cost CLIP-L
+    # (N=577) a 768-row pad, 1.77x the useful attention work; while tiny
+    # q_chunks (128) halve the M-dim of every per-head dot and measured
+    # slower than the padding they saved (BENCH_NOTES r4).
+    n_pad = _round_up(n, 128)
+    cap = min(384, n_pad)
+    q_chunk = max(c for c in range(64, cap + 1, 64) if n_pad % c == 0)
     n_q = n_pad // q_chunk
 
     in_spec = pl.BlockSpec((1, n_pad, three_d), lambda i, qi: (i, 0, 0),

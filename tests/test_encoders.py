@@ -6,6 +6,8 @@ import pytest
 from acmil_tpu.models.encoders.resnet import resnet18
 from acmil_tpu.models.encoders.vit import ViT
 
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
 
 def test_vit_forward_shape(rng):
     import jax.numpy as jnp

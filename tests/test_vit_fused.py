@@ -14,6 +14,8 @@ from acmil_tpu.models.encoders.vit import ViT
 from acmil_tpu.ops.vit_attn import _reference_attention, fused_vit_attention
 from acmil_tpu.ops.vit_layer import _unfused_layer, fits_vmem, fused_vit_layer
 
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
 
 @pytest.mark.parametrize("shape", [(2, 6, 197, 64), (1, 2, 128, 32),
                                    (3, 4, 50, 32)])
