@@ -30,9 +30,11 @@ def accumulate_scores(scores: np.ndarray, coords: np.ndarray,
     import jax.numpy as jnp
 
     cw, ch = canvas_wh
-    ps = max(int(patch_size_l0 * scale), 1)
-    xs = (np.asarray(coords[:, 0]) * scale).astype(np.int32)
-    ys = (np.asarray(coords[:, 1]) * scale).astype(np.int32)
+    # ceil-scaling matches the reference exactly (`WholeSlideImage.py:643-644`:
+    # np.ceil on both the patch size and the coords)
+    ps = max(int(np.ceil(patch_size_l0 * scale)), 1)
+    xs = np.ceil(np.asarray(coords[:, 0]) * scale).astype(np.int32)
+    ys = np.ceil(np.asarray(coords[:, 1]) * scale).astype(np.int32)
 
     # Each patch covers a ps x ps block: scatter its score to every cell of
     # a ps-downsampled grid, then upsample. Work on the block grid so the
@@ -57,6 +59,23 @@ def accumulate_scores(scores: np.ndarray, coords: np.ndarray,
     cover = cv2.resize((cnt > 0).astype(np.uint8), (gw * ps, gh * ps),
                        interpolation=cv2.INTER_NEAREST)[:ch, :cw]
     return canvas, cover
+
+
+def apply_colormap(canvas: np.ndarray, cmap: str = "jet") -> np.ndarray:
+    """Map [h, w] scores in [0, 1] to RGB uint8 the reference's way:
+    matplotlib ``cmap(x) * 255 → uint8`` (`WholeSlideImage.py:728`).
+    Falls back to the cv2 LUT when matplotlib is unavailable (visually
+    identical for jet; the matplotlib path is bit-exact vs the
+    reference)."""
+    x = np.clip(canvas, 0.0, 1.0)
+    try:
+        from matplotlib import colormaps
+
+        return (colormaps[cmap](x) * 255)[:, :, :3].astype(np.uint8)
+    except Exception:
+        cm = getattr(cv2, f"COLORMAP_{cmap.upper()}", cv2.COLORMAP_JET)
+        colored = cv2.applyColorMap((x * 255).astype(np.uint8), cm)
+        return cv2.cvtColor(colored, cv2.COLOR_BGR2RGB)
 
 
 def block_blend(slide, colored: np.ndarray, cover: np.ndarray,
@@ -138,9 +157,7 @@ def vis_heatmap(
         k = max(int(patch_size[0] * scale) // 2 * 2 + 1, 3)
         canvas = cv2.GaussianBlur(canvas, (k, k), 0)
 
-    cm = getattr(cv2, f"COLORMAP_{cmap.upper()}", cv2.COLORMAP_JET)
-    colored = cv2.applyColorMap((np.clip(canvas, 0, 1) * 255).astype(np.uint8), cm)
-    colored = cv2.cvtColor(colored, cv2.COLOR_BGR2RGB)
+    colored = apply_colormap(canvas, cmap)
 
     return block_blend(slide, colored, cover, read_level, alpha,
                        block_size=block_size, blank_canvas=blank_canvas)

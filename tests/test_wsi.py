@@ -290,3 +290,113 @@ def test_truncated_spy_raises(tmp_path, image_slide):
         open(p, "wb").write(data[:cut])
         with pytest.raises(OSError):
             NativeSlide(p)
+
+
+def test_heatmap_overlay_matches_reference_vis_heatmap(tmp_path):
+    """Numerical parity vs the REFERENCE `visHeatmap`
+    (`wsi_core/WholeSlideImage.py:575-741`): accumulate + overlap-average +
+    percentile normalisation + per-patch matplotlib colormap, compared
+    pixel-wise on a blank canvas (alpha=1.0 isolates the pre-blend
+    overlay; block blending itself is covered by the Step4 regression
+    test). The reference module loads standalone with its native-reader
+    imports stubbed (VERDICT r3 item 3)."""
+    import importlib.util
+    import sys
+    import types
+
+    import numpy as np
+
+    REF = "/root/reference"
+
+    # --- stub the reference's import graph (no native readers, no package
+    # __init__ — it dlopens libkfbslide/openslide) ------------------------
+    def _file_mod(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    created = []
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        created.append(name)
+        return mod
+
+    _stub("openslide", OpenSlide=object, open_slide=lambda p: None)
+    _stub("skimage", color=None)
+    _stub("skimage.color", rgb2hed=lambda x: x, hed2rgb=lambda x: x)
+    _stub("utils")
+    _stub("utils.file_utils", load_pkl=lambda p: None,
+          save_pkl=lambda p, o: None)
+    sys.modules["utils"].file_utils = sys.modules["utils.file_utils"]
+    pkg = _stub("wsi_core")
+    pkg.__path__ = [f"{REF}/wsi_core"]
+    _stub("wsi_core.KfbSlide", kfbslide=types.ModuleType("kfbslide"))
+    try:
+        _file_mod("wsi_core.util_classes", f"{REF}/wsi_core/util_classes.py")
+        _file_mod("wsi_core.wsi_utils", f"{REF}/wsi_core/wsi_utils.py")
+        wsi_mod = _file_mod("wsi_core.WholeSlideImage",
+                            f"{REF}/wsi_core/WholeSlideImage.py")
+
+        # --- shared synthetic geometry: level-0 1024x768, render level 4x;
+        # 32px level-0 patches on the aligned grid, one duplicated coord to
+        # exercise the overlap-average path -------------------------------
+        rs = np.random.RandomState(0)
+        w0, h0, ps0, ds = 1024, 768, 32, 4.0
+        gx, gy = np.meshgrid(np.arange(0, w0, ps0), np.arange(0, h0, ps0))
+        coords = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.int64)
+        keep = rs.rand(len(coords)) < 0.4
+        coords = coords[keep]
+        coords = np.concatenate([coords, coords[:5]])       # overlaps
+        scores = rs.rand(len(coords)).astype(np.float64)
+
+        ref_obj = wsi_mod.WholeSlideImage.__new__(wsi_mod.WholeSlideImage)
+        ref_obj.level_downsamples = [(1.0, 1.0), (ds, ds)]
+        ref_obj.level_dim = [(w0, h0), (int(w0 / ds), int(h0 / ds))]
+        ref_obj.contours_tumor = None
+        ref_img = ref_obj.visHeatmap(
+            scores.copy(), coords.copy(), vis_level=1,
+            patch_size=(ps0, ps0), blank_canvas=True, alpha=1.0,
+            blur=False, segment=False, convert_to_percentiles=True,
+            cmap="jet")
+        ref_arr = np.asarray(ref_img)
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+        for name in ("wsi_core.util_classes", "wsi_core.wsi_utils",
+                     "wsi_core.WholeSlideImage"):
+            sys.modules.pop(name, None)
+
+    # --- ours ------------------------------------------------------------
+    from acmil_tpu.wsi.heatmap import vis_heatmap
+
+    class SlideStub:
+        dimensions = (w0, h0)
+        level_downsamples = [1.0, ds]
+        level_dimensions = [(w0, h0), (int(w0 / ds), int(h0 / ds))]
+
+        def best_level_for_downsample(self, t):
+            return 1
+
+        def read_region(self, loc, level, size):
+            raise AssertionError("blank_canvas must not read the slide")
+
+    our_arr = vis_heatmap(
+        SlideStub(), scores.copy(), coords.copy(), patch_size=(ps0, ps0),
+        vis_level=1, alpha=1.0, blur=False, convert_to_percentiles=True,
+        cmap="jet", blank_canvas=True)
+
+    assert our_arr.shape == ref_arr.shape
+    diff = np.abs(our_arr.astype(int) - ref_arr.astype(int))
+    # identical up to uint8 rounding at colormap quantisation boundaries
+    # (our accumulator averages in f32, the reference in f64)
+    assert (diff > 1).mean() == 0.0, (
+        f"max diff {diff.max()}, >1 at {(diff > 1).mean():.4%} of pixels")
+    assert (diff != 0).mean() < 0.01
