@@ -1,0 +1,201 @@
+"""Round-trip: reference torch checkpoint → import → our eval matches the
+torch model's outputs (VERDICT r3 item 7).
+
+Saves real reference-format checkpoints (`utils/utils.py:415-422` payload)
+from the ACTUAL reference torch modules, imports them with
+scripts/import_torch_checkpoint.py, and compares deterministic eval —
+CLAM through the fused Pallas pooling family path.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _paths():
+    """Lazy sys.path setup: module-scope insertion would pollute every
+    later-collected test module even when this file is deselected
+    (reference's top-level ``utils``/``models`` shadow same-named
+    imports). APPEND keeps repo modules winning, like
+    test_reference_parity.py."""
+    added = []
+    for p in (REF, os.path.join(REPO, "scripts")):
+        if p not in sys.path:
+            sys.path.append(p)
+            added.append(p)
+    yield
+    for p in added:
+        sys.path.remove(p)
+
+
+class _Conf:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _save_ref_ckpt(tmp_path, model, conf_dict, name="checkpoint-best.pth"):
+    """The reference save_model payload (`utils/utils.py:415-422`). The
+    config pickles as a class living in module ``utils.utils`` — exactly
+    the pickle reference a real checkpoint carries, so this exercises the
+    importer's Struct stub."""
+    uu = sys.modules.get("utils.utils")
+    if uu is None:
+        uu = types.ModuleType("utils.utils")
+        pkg = sys.modules.setdefault("utils", types.ModuleType("utils"))
+        pkg.utils = uu
+        sys.modules["utils.utils"] = uu
+    if not hasattr(uu, "Struct"):
+        cls = type("Struct", (), {})
+        cls.__module__ = "utils.utils"
+        uu.Struct = cls
+    cfg = uu.Struct()
+    cfg.__dict__.update(conf_dict)
+    path = str(tmp_path / name)
+    torch.save({"model": model.state_dict(), "optimizer": {}, "epoch": 7,
+                "config": cfg}, path)
+    return path
+
+
+def test_import_acmil_ga_roundtrip(tmp_path):
+    from architecture.transformer import ACMIL_GA as TorchACMIL
+
+    import jax.numpy as jnp
+
+    from import_torch_checkpoint import import_checkpoint
+
+    from acmil_tpu.models.fast import acmil_ga_infer
+
+    rs = np.random.RandomState(0)
+    bag = rs.randn(1, 200, 48).astype(np.float32)
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2, n_token=3)
+    tm = TorchACMIL(conf, D=128, n_token=3, n_masked_patch=0, mask_drop=0)
+    tm.eval()
+    ckpt = _save_ref_ckpt(tmp_path, tm,
+                          dict(D_feat=48, D_inner=32, n_class=2, n_token=3,
+                               arch="ga"))
+
+    out_dir = str(tmp_path / "ours")
+    conf2, params = import_checkpoint(ckpt, out_dir)
+    assert conf2.arch == "ga"
+
+    with torch.no_grad():
+        t_sub, t_slide, _ = tm(torch.from_numpy(bag))
+    f_sub, f_slide, _ = acmil_ga_infer(params, jnp.asarray(bag[0]),
+                                       jnp.ones((200,), bool),
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(f_sub), t_sub.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_slide), t_slide.numpy()[0],
+                               rtol=1e-4, atol=1e-5)
+
+    # the orbax checkpoint restores into a fresh TrainState (--eval_only)
+    import jax
+
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.checkpoint import CheckpointManager
+    from acmil_tpu.engine.train import create_train_state
+    from acmil_tpu.models import build_mil_model
+
+    model, family = build_mil_model(conf2)
+    ebag = Bag(feats=jnp.zeros((1, 64, 48), jnp.float32),
+               mask=jnp.ones((1, 64), bool),
+               coords=jnp.zeros((1, 64, 2), jnp.int32),
+               label=jnp.zeros((1,), jnp.int32))
+    state = create_train_state(model, conf2, jax.random.PRNGKey(1), ebag,
+                               steps_per_epoch=1, family=family)
+    state = CheckpointManager(out_dir).restore("best", state)
+    leaf = state.params["AttentionGated_0"]["Dense_0"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(leaf), tm.attention.attention_V[0].weight.detach().numpy().T)
+
+
+def test_import_clam_sb_roundtrip_fused_eval(tmp_path):
+    """CLAM_SB import served through CLAMFamily's fused eval path."""
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    # get-or-create the utils.utils stub (test 1's checkpoint save may
+    # have registered it already) and add the names clam.py imports
+    uu = sys.modules.setdefault("utils.utils", types.ModuleType("utils.utils"))
+    pkg = sys.modules.setdefault("utils", types.ModuleType("utils"))
+    pkg.utils = uu
+    uu.initialize_weights = lambda m: None
+
+    def _softmax_one(x, dim=-1):
+        shift = torch.clamp(x.max(dim=dim, keepdim=True).values, min=0)
+        ex = torch.exp(x - shift)
+        return ex / (ex.sum(dim=dim, keepdim=True) + torch.exp(-shift))
+
+    uu.softmax_one = _softmax_one
+    from architecture.clam import CLAM_SB as TorchCLAM
+
+    import jax.numpy as jnp
+
+    from import_torch_checkpoint import import_checkpoint
+
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+
+    rs = np.random.RandomState(1)
+    bag_np = rs.randn(1, 200, 48).astype(np.float32)
+    conf = _Conf(D_feat=48, D_inner=32, n_class=2)
+    tm = TorchCLAM(conf, dropout=False)
+    tm.eval()
+    ckpt = _save_ref_ckpt(
+        tmp_path, tm, dict(D_feat=48, D_inner=32, n_class=2,
+                           arch="clam_sb", droprate=0.0, d_attn=128))
+
+    conf2, params = import_checkpoint(ckpt, str(tmp_path / "ours"))
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(bag_np))
+
+    fam = get_family("clam")
+    bag = Bag(feats=jnp.asarray(bag_np), mask=jnp.ones((1, 200), bool),
+              coords=jnp.zeros((1, 200, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    out = fam.eval_outputs(None, params, bag, fused=True)  # fused kernel
+    np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_import_transmil_roundtrip(tmp_path):
+    """TransMIL import; served with pad_mode='wrap' for reference-exact
+    numerics (PARITY.md)."""
+    import architecture.nystrom_attention as vendored_na
+    sys.modules.setdefault("nystrom_attention", vendored_na)
+    from architecture.transMIL import TransMIL as TorchTransMIL
+
+    import jax.numpy as jnp
+
+    from import_torch_checkpoint import import_checkpoint
+
+    from acmil_tpu.models.transmil import TransMIL
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # transMIL.py:71
+
+    rs = np.random.RandomState(2)
+    bag_np = rs.randn(1, 200, 48).astype(np.float32)
+    conf = _Conf(D_feat=48, D_inner=64, n_class=2)
+    tm = TorchTransMIL(conf)
+    tm.eval()
+    ckpt = _save_ref_ckpt(tmp_path, tm,
+                          dict(D_feat=48, D_inner=64, n_class=2,
+                               arch="transmil"))
+    conf2, params = import_checkpoint(ckpt, str(tmp_path / "ours"))
+
+    with torch.no_grad():
+        t_logits = tm(torch.from_numpy(bag_np))
+    fm = TransMIL(n_class=2, d_inner=64, pad_mode="wrap")
+    f_logits = fm.apply({"params": params}, jnp.asarray(bag_np),
+                        jnp.ones((1, 200), bool), deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_logits), t_logits.numpy(),
+                               rtol=2e-3, atol=2e-3)
