@@ -6,12 +6,15 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 import yaml
 
 from acmil_tpu.cli.train import run_training
 from acmil_tpu.config import Config
 from acmil_tpu.data.h5io import write_feature_h5
 from tests.conftest import make_synthetic_bags
+
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
 
 
 def _setup(tmp_path, arch="ga", epochs=2, **extra):

@@ -9,11 +9,14 @@ carried the other host's shard.
 """
 
 import os
+import pytest
 import socket
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")

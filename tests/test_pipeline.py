@@ -8,6 +8,8 @@ import h5py
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
 
 @pytest.fixture(scope="module")
 def slide_dir(tmp_path_factory):

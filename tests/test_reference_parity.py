@@ -14,6 +14,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
 REF = "/root/reference"
 
 torch = pytest.importorskip("torch")

@@ -15,6 +15,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: deselect with -m "not slow"
+
 REF = "/root/reference"
 
 torch = pytest.importorskip("torch")
