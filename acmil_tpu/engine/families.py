@@ -128,12 +128,14 @@ class CLAMFamily(Family):
 
     Fused routing (VERDICT r3 item 2): CLAM's ``Attn_Net_Gated`` is the
     same gated-attention computation as the Pallas pooling kernel
-    (`architecture/clam.py:46-67`), so eval always runs fused
+    (`architecture/clam.py:46-67`), so eval runs fused at large buckets
     (deterministic — dropout off), and training runs fused when
     ``droprate: 0`` and the instance loss is CE (the reference default
     trains with dropout 0.25, which keeps model.apply). MB's softmax_one
     pooling uses the phantom-logit kernel variant. Mesh runs keep
-    model.apply (the bare kernel cannot consume sharded operands)."""
+    model.apply (the bare kernel cannot consume sharded operands), and
+    buckets under ``fast.FUSE_MIN_N`` patches keep it too — the plain
+    graph is faster there (BENCH_NOTES r4 crossover)."""
 
     name = "clam"
 
@@ -154,12 +156,14 @@ class CLAMFamily(Family):
 
     def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
         if conf_d.get("fused") and conf_d.get("mesh") is None:
-            from acmil_tpu.models.fast import clam_apply_fused, clam_is_fusable
+            from acmil_tpu.models import fast
 
-            if clam_is_fusable(params):
-                return clam_apply_fused(params, bag.feats, bag.mask,
-                                        label=bag.label, instance_eval=True,
-                                        **self._fused_kw(conf_d))
+            if (fast.clam_is_fusable(params)
+                    and bag.feats.shape[1] >= fast.FUSE_MIN_N):
+                return fast.clam_apply_fused(params, bag.feats, bag.mask,
+                                             label=bag.label,
+                                             instance_eval=True,
+                                             **self._fused_kw(conf_d))
         return apply_fn({"params": params}, bag.feats, bag.mask,
                         label=bag.label, instance_eval=True,
                         deterministic=False, rngs=rngs)
@@ -167,11 +171,12 @@ class CLAMFamily(Family):
     def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
                      mesh=None):
         if fused and mesh is None:
-            from acmil_tpu.models.fast import clam_apply_fused, clam_is_fusable
+            from acmil_tpu.models import fast
 
-            if clam_is_fusable(params):
-                return clam_apply_fused(params, bag.feats, bag.mask,
-                                        n_class=0)
+            if (fast.clam_is_fusable(params)
+                    and bag.feats.shape[1] >= fast.FUSE_MIN_N):
+                return fast.clam_apply_fused(params, bag.feats, bag.mask,
+                                             n_class=0)
         return super().eval_outputs(apply_fn, params, bag)
 
     def loss(self, outputs, bag, valid, conf_d):
@@ -210,12 +215,14 @@ class DSMILFamily(Family):
     def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
                      mesh=None):
         # fused bag-head pooling (ops/dsmil_pool.py) for the generic
-        # trainer's nonlinear=False build; mesh runs keep model.apply
+        # trainer's nonlinear=False build; mesh runs keep model.apply,
+        # as do buckets under the measured crossover (fast.FUSE_MIN_N)
         if fused and mesh is None:
-            from acmil_tpu.models.fast import dsmil_eval_fused, dsmil_is_fusable
+            from acmil_tpu.models import fast
 
-            if dsmil_is_fusable(params):
-                return dsmil_eval_fused(params, bag.feats, bag.mask)
+            if (fast.dsmil_is_fusable(params)
+                    and bag.feats.shape[1] >= fast.FUSE_MIN_N):
+                return fast.dsmil_eval_fused(params, bag.feats, bag.mask)
         out = apply_fn({"params": params}, bag.feats, bag.mask,
                        deterministic=True)
         return self._max_inst(out, bag)

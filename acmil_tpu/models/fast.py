@@ -13,6 +13,15 @@ import jax.numpy as jnp
 
 from acmil_tpu.ops.attn_pool import fused_gated_attn_pool
 
+# CLAM/DSMIL fused-vs-XLA crossover measured on v5e (BENCH_NOTES r4,
+# scripts/bench_clam_pool.py): at ≤32k patches the plain XLA pooling
+# graph still wins (fused 0.67-0.93x, absolute gaps ≈20µs/slide); at 64k
+# the streaming kernel wins 1.1-3.0x and scales linearly while the XLA
+# graph degrades superlinearly. Families route these heads fused only at
+# N ≥ this threshold (tests pin it to 0 to force the kernel). The GA
+# heads are NOT gated by this — their fused path wins at every bucket.
+FUSE_MIN_N = 49152
+
 # Smallest kept softmax mass (1 − Σ dropped probabilities) the O(K·k)
 # STKIM subtract-renormalise identity stays accurate for in f32:
 # relative error ≈ ε / kept_mass ≈ 6e-8 / 1e-5 ≈ 6e-3. Below it the

@@ -26,7 +26,10 @@ import numpy as np
 from acmil_tpu.config import Config
 from acmil_tpu.data.bags import Bag
 from acmil_tpu.engine import get_family
-from acmil_tpu.models import build_mil_model
+from acmil_tpu.models import build_mil_model, fast
+
+# measure the kernel at every N, not just past the production threshold
+fast.FUSE_MIN_N = 0
 
 
 def _chain_ms(step, x0, inner, k0=4, k1=24, reps=3):

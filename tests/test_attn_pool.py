@@ -625,7 +625,9 @@ def test_softmax_one_kernel_variant_matches_reference():
 
 def _clam_fused_case(arch, fused):
     """Build a CLAM model/family pair and return (loss, grad leaves,
-    eval outputs) under the given fused flag (droprate 0)."""
+    eval outputs) under the given fused flag (droprate 0). Pins
+    ``fast.FUSE_MIN_N`` to 0 so the kernel engages at the tiny test N
+    (production routing only fuses past the measured crossover)."""
     import jax
     import jax.numpy as jnp
 
@@ -633,7 +635,7 @@ def _clam_fused_case(arch, fused):
     from acmil_tpu.data.bags import Bag
     from acmil_tpu.engine import get_family
     from acmil_tpu.engine.train import _conf_dict
-    from acmil_tpu.models import build_mil_model
+    from acmil_tpu.models import build_mil_model, fast
 
     rs = np.random.RandomState(6)
     bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
@@ -658,8 +660,13 @@ def _clam_fused_case(arch, fused):
         loss, _ = fam.loss(outputs, bag, valid, conf_d)
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    ev = fam.eval_outputs(model.apply, params, bag, fused=fused)
+    min_n = fast.FUSE_MIN_N
+    fast.FUSE_MIN_N = 0
+    try:
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        ev = fam.eval_outputs(model.apply, params, bag, fused=fused)
+    finally:
+        fast.FUSE_MIN_N = min_n
     return (float(loss), jax.tree_util.tree_leaves(grads), ev, bag)
 
 
@@ -742,10 +749,15 @@ def test_dsmil_fused_eval_matches_model():
     params = model.init({"params": jax.random.PRNGKey(0)},
                         bag.feats, bag.mask)["params"]
 
-    from acmil_tpu.models.fast import dsmil_is_fusable
-    assert dsmil_is_fusable(params)
+    from acmil_tpu.models import fast
+    assert fast.dsmil_is_fusable(params)
 
-    out_f = fam.eval_outputs(model.apply, params, bag, fused=True)
+    min_n = fast.FUSE_MIN_N
+    fast.FUSE_MIN_N = 0  # force the kernel at the tiny test N
+    try:
+        out_f = fam.eval_outputs(model.apply, params, bag, fused=True)
+    finally:
+        fast.FUSE_MIN_N = min_n
     out_p = fam.eval_outputs(model.apply, params, bag, fused=False)
     for a, b_ in zip(out_f, out_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),

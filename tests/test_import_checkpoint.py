@@ -162,7 +162,13 @@ def test_import_clam_sb_roundtrip_fused_eval(tmp_path):
     bag = Bag(feats=jnp.asarray(bag_np), mask=jnp.ones((1, 200), bool),
               coords=jnp.zeros((1, 200, 2), jnp.int32),
               label=jnp.zeros((1,), jnp.int32))
-    out = fam.eval_outputs(None, params, bag, fused=True)  # fused kernel
+    from acmil_tpu.models import fast
+    min_n = fast.FUSE_MIN_N
+    fast.FUSE_MIN_N = 0  # force the kernel at the tiny test N
+    try:
+        out = fam.eval_outputs(None, params, bag, fused=True)  # fused kernel
+    finally:
+        fast.FUSE_MIN_N = min_n
     np.testing.assert_allclose(np.asarray(out["logits"]), t_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
 
