@@ -25,10 +25,26 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         import jax as _jax
 
         # segregate by platform: CPU must not pick up AOT artifacts
-        # compiled for another machine profile (SIGILL hazard)
+        # compiled for another machine profile (SIGILL hazard). The CPU
+        # cache key additionally fingerprints the host's CPU features —
+        # XLA:CPU AOT results embed host code, and on VM fleets the host
+        # profile can change between boots; loading a mismatched entry
+        # SIGABRTs (cpu_aot_loader: "machine type ... doesn't match").
+        # Every platform dir gets the fingerprint: tests start under
+        # JAX_PLATFORMS=axon and switch to cpu post-import, so CPU AOT
+        # entries can land in any platform's dir.
         _plat = (_os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
+        _suffix = _plat
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next((l for l in _f if l.startswith("flags")), "")
+            _suffix += "-" + _hashlib.sha1(_flags.encode()).hexdigest()[:8]
+        except OSError:
+            pass
         _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
-                               "acmil_tpu", f"xla-{_plat}")
+                               "acmil_tpu", f"xla-{_suffix}")
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
