@@ -8,35 +8,35 @@ from collections import defaultdict
 import numpy as np
 
 
-def main(path):
-    rows = [json.loads(l) for l in open(path) if l.strip()]
+def main(*paths):
+    rows = [json.loads(l) for p in paths for l in open(p) if l.strip()]
     by = defaultdict(dict)
     for r in rows:
-        by[(r["recipe"], r["framework"])][r["seed"]] = r
-    recipes = sorted({k[0] for k in by})
-    print(f"{'recipe':10} {'framework':16} {'n':>2} {'mean':>7} "
+        by[(r["recipe"], r.get("epochs"), r["framework"])][r["seed"]] = r
+    recipes = sorted({k[:2] for k in by}, key=str)
+    print(f"{'recipe':10} {'ep':>3} {'framework':16} {'n':>2} {'mean':>7} "
           f"{'min':>7} {'max':>7}  seeds")
-    for rec in recipes:
+    for rec, ep in recipes:
         for fw in ("torch-reference", "acmil_tpu"):
-            d = by.get((rec, fw), {})
+            d = by.get((rec, ep, fw), {})
             if not d:
                 continue
             aucs = np.array([d[s]["test_auc"] for s in sorted(d)])
-            print(f"{rec:10} {fw:16} {len(aucs):>2} {aucs.mean():7.4f} "
+            print(f"{rec:10} {ep!s:>3} {fw:16} {len(aucs):>2} "
+                  f"{aucs.mean():7.4f} "
                   f"{aucs.min():7.4f} {aucs.max():7.4f}  {sorted(d)}")
     print("\nper-seed test AUC:")
-    for rec in recipes:
-        seeds = sorted(set().union(*[set(by.get((rec, f), {}))
+    for rec, ep in recipes:
+        seeds = sorted(set().union(*[set(by.get((rec, ep, f), {}))
                                      for f in ("torch-reference",
                                                "acmil_tpu")]))
         for s in seeds:
-            t = by.get((rec, "torch-reference"), {}).get(s)
-            o = by.get((rec, "acmil_tpu"), {}).get(s)
+            t = by.get((rec, ep, "torch-reference"), {}).get(s)
+            o = by.get((rec, ep, "acmil_tpu"), {}).get(s)
             tt = f"{t['test_auc']:.4f}" if t else "  --  "
             oo = f"{o['test_auc']:.4f}" if o else "  --  "
             print(f"| {rec} | {s} | {tt} | {oo} |")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         "/root/h2h_r4/head_to_head.jsonl")
+    main(*(sys.argv[1:] or ["/root/h2h_r4/head_to_head.jsonl"]))

@@ -86,14 +86,14 @@ def write_split(work: str, names, seed: int):
         json.dump(split, f)
 
 
-def write_config(work: str, epochs: int) -> str:
+def write_config(work: str, epochs: int, lr: float = 1e-4) -> str:
     cfg = f"""
 dataset: camelyon
 n_class: 2
 pretrain: medical_ssl
 D_feat: 384
 D_inner: 128
-lr: 0.0001
+lr: {lr}
 min_lr: 0.000001
 wd: 0.00001
 train_epoch: {epochs}
@@ -314,6 +314,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/head_to_head")
     ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-4,
+                    help="shared optimizer lr written into the matched "
+                         "config (use a separate --work per lr: the "
+                         "resume key does not include it)")
     ap.add_argument("--recipes", default="abmil,acmil")
     ap.add_argument("--seeds", default="1,4")
     ap.add_argument("--ours-platform", default=None,
@@ -326,7 +330,7 @@ def main():
     seeds = [int(s) for s in args.seeds.split(",")]
     for s in seeds:
         write_split(work, names, s)
-    cfg = write_config(work, args.epochs)
+    cfg = write_config(work, args.epochs, args.lr)
 
     # resumable: completed runs live in head_to_head.jsonl and are
     # skipped. The key includes epochs so a re-invocation with a
@@ -353,13 +357,13 @@ def main():
             if (recipe, seed, "torch-reference", args.epochs) not in done:
                 ref = run_reference(work, cfg, recipe, seed)
                 ref.update(recipe=recipe, seed=seed, epochs=args.epochs,
-                           framework="torch-reference")
+                           lr=args.lr, framework="torch-reference")
                 record(ref)
             if (recipe, seed, "acmil_tpu", args.epochs) not in done:
                 ours = run_ours(work, cfg, recipe, seed,
                                 platform=args.ours_platform)
                 ours.update(recipe=recipe, seed=seed, epochs=args.epochs,
-                            framework="acmil_tpu")
+                            lr=args.lr, framework="acmil_tpu")
                 record(ours)
 
     with open(f"{work}/head_to_head.json", "w") as f:
