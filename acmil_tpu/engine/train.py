@@ -221,10 +221,11 @@ def make_scan_train_step(model, conf, family="acmil", mesh=None) -> Optional[Cal
     return scan_steps
 
 
-def _eval_outputs_fn(fam, fused: bool, mesh=None) -> Callable:
+def _eval_outputs_fn(fam, fused: bool, mesh=None, model=None) -> Callable:
     """Bind the family's eval_outputs, passing ``fused``/``mesh`` only to
     families that take them (ACMIL's GA reroute: mesh runs go through the
-    shard_map'd fused kernel)."""
+    shard_map'd fused kernel). Families whose fused route needs model
+    hyperparameters (DTFD's num_group/distill) also take ``model``."""
     import inspect
 
     params = inspect.signature(fam.eval_outputs).parameters
@@ -232,6 +233,8 @@ def _eval_outputs_fn(fam, fused: bool, mesh=None) -> Callable:
         kw = {"fused": fused}
         if "mesh" in params:
             kw["mesh"] = mesh
+        if "model" in params:
+            kw["model"] = model
         return lambda apply_fn, params, bag: fam.eval_outputs(
             apply_fn, params, bag, **kw)
     return fam.eval_outputs
@@ -240,7 +243,7 @@ def _eval_outputs_fn(fam, fused: bool, mesh=None) -> Callable:
 def make_eval_step(model, family="default", fused: bool = True,
                    mesh=None) -> Callable:
     fam = _resolve_family(family)
-    eval_outputs = _eval_outputs_fn(fam, fused, mesh)
+    eval_outputs = _eval_outputs_fn(fam, fused, mesh, model)
 
     @jax.jit
     def step(params, bag: Bag):
@@ -255,7 +258,7 @@ def make_scan_eval_step(model, family="default", fused: bool = True,
     """Eval counterpart of :func:`make_scan_train_step`: probabilities for
     a whole stacked shape group in one dispatch, ``[k, B, C]``."""
     fam = _resolve_family(family)
-    eval_outputs = _eval_outputs_fn(fam, fused, mesh)
+    eval_outputs = _eval_outputs_fn(fam, fused, mesh, model)
 
     @jax.jit
     def scan_eval(params, stacked: Bag):

@@ -149,9 +149,70 @@ class DTFD(nn.Module):
 class DTFDFamily(Family):
     """loss = CE(tier-1 per-group) stepped on tier-1 params +
     CE(tier-2) on the tier-2 head (`Step3_DTFD:131-148`); eval prob =
-    softmax(tier-2) (`Step3_DTFD:222-226`)."""
+    softmax(tier-2) (`Step3_DTFD:222-226`).
+
+    Fused routing (VERDICT r3 item 2, last of SURVEY §7's five pooling
+    heads): the per-pseudo-bag gated-attention pooling runs the
+    streaming Pallas kernel (models/fast.py::dtfd_apply_fused) when the
+    per-group length ``N / num_group`` clears the measured crossover
+    (``fast.FUSE_MIN_N`` — the kernel streams groups as independent
+    bags, so the GROUP size is what it sees). Mesh runs and
+    residual-block reductions keep model.apply."""
 
     name = "dtfd"
+
+    def conf_dict(self, conf):
+        # mirrors the `_dtfd` factory below — keep in sync
+        d = super().conf_dict(conf)
+        num_group = int(getattr(conf, "numGroup", 4))
+        total_instance = int(getattr(conf, "total_instance", 4))
+        d["num_group"] = num_group
+        d["instance_per_group"] = max(1, total_instance // num_group)
+        d["distill"] = str(getattr(conf, "distill", "MaxMinS"))
+        d["fused"] = bool(conf.extra.get("fused_train", True))
+        return d
+
+    @staticmethod
+    def _fused_ok(params, bag, conf_d):
+        from acmil_tpu.models import fast
+
+        return (conf_d.get("fused", False) and conf_d.get("mesh") is None
+                and fast.dtfd_is_fusable(params)
+                and bag.feats.shape[1] % conf_d["num_group"] == 0
+                and (bag.feats.shape[1] // conf_d["num_group"]
+                     >= fast.FUSE_MIN_N))
+
+    @staticmethod
+    def _fused_kw(conf_d):
+        return dict(num_group=conf_d["num_group"],
+                    instance_per_group=conf_d["instance_per_group"],
+                    distill=conf_d["distill"])
+
+    def train_outputs(self, apply_fn, params, bag, rngs, conf_d):
+        if self._fused_ok(params, bag, conf_d):
+            from acmil_tpu.models import fast
+
+            return fast.dtfd_apply_fused(
+                params, bag.feats, bag.mask,
+                rng=fast.derive_stkim_rng(rngs["stkim"]),
+                **self._fused_kw(conf_d))
+        return super().train_outputs(apply_fn, params, bag, rngs, conf_d)
+
+    def eval_outputs(self, apply_fn, params, bag, fused: bool = True,
+                     mesh=None, model=None):
+        # hyperparams come from the module itself (engine/train.py's
+        # _eval_outputs_fn passes the model to families that take it)
+        if fused and mesh is None and model is not None:
+            conf_d = {"fused": True, "mesh": None,
+                      "num_group": model.num_group,
+                      "instance_per_group": model.instance_per_group,
+                      "distill": model.distill}
+            if self._fused_ok(params, bag, conf_d):
+                from acmil_tpu.models import fast
+
+                return fast.dtfd_apply_fused(params, bag.feats, bag.mask,
+                                             **self._fused_kw(conf_d))
+        return super().eval_outputs(apply_fn, params, bag)
 
     def loss(self, outputs, bag, valid, conf_d):
         sub = outputs["sub_preds"]                               # [B,G,C]

@@ -305,6 +305,121 @@ def dsmil_eval_fused(params, feats, mask, chunk: int = 1024):
     return masked_max(inst, mask, axis=1), bag_logits
 
 
+def dtfd_is_fusable(params) -> bool:
+    """True for the stock DTFD build (`models/dtfd.py::_dtfd`): plain
+    bias-free DimReduction (n_res=0) + K=1 gated attention + exposed
+    tier-1 classifier. Residual-block reductions keep model.apply."""
+    dr = params.get("DimReduction_0", {})
+    return ("AttentionGated_0" in params and "tier1_w" in params
+            and set(dr) == {"Dense_0"})
+
+
+def dtfd_apply_fused(params, feats, mask, *, num_group: int,
+                     instance_per_group: int, distill: str = "MaxMinS",
+                     rng=None, chunk: int = 1024):
+    """Fused DTFD forward (eval always; train — droprate is 0 in the
+    stock build). Matches ``DTFD.__call__`` on the same param tree
+    (reference two-tier protocol `Step3_WSI_classification_DTFD.py:61-160`,
+    CAM trick `utils/utils.py:48`).
+
+    The per-pseudo-bag gated-attention pooling runs the streaming Pallas
+    kernel with an **identity first layer**: the dim-reduced features
+    ``mid = relu(x @ W1)`` are computed once (they are needed anyway for
+    the CAM per-patch logits and the distilled gathers), gathered per
+    group, and fed to the kernel with ``w1 = I`` — ReLU is idempotent on
+    the already-rectified ``mid``, so the kernel's internal
+    ``h = relu(mid @ I)`` IS ``mid`` and the heavy ``[N,D]·[D,L]`` GEMM
+    is not duplicated. This replaces the unfused graph's materialised
+    ``att_feats`` + multi-pass masked softmax with one kernel pass per
+    group (forward and backward each one pass over the gathered ``mid``).
+
+    ``rng`` must be the flax-derived stkim key (:func:`derive_stkim_rng`)
+    in training so pseudo-bag assignments match ``model.apply``
+    bit-for-bit; ``None`` reproduces the model's deterministic eval
+    grouping (fold of PRNGKey(0)).
+    """
+    from acmil_tpu.models.dtfd import _group_permutation
+    from acmil_tpu.ops.attn_pool import gated_attn_pool_grad
+    from acmil_tpu.ops.masked import masked_fill, masked_softmax
+
+    b, n, _ = feats.shape
+    g = num_group
+    if mask is None:
+        mask = jnp.ones((b, n), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)   # deterministic eval grouping
+
+    w1 = params["DimReduction_0"]["Dense_0"]["kernel"]
+    ldim = w1.shape[1]
+    mid = jnp.maximum(feats.astype(w1.dtype) @ w1, 0.0)      # [B, N, L]
+
+    groups, gmask = _group_permutation(rng, mask, g)         # [B,G,S]
+    s = groups.shape[-1]
+    gfeat = jnp.take_along_axis(mid[:, None].repeat(g, 1),
+                                groups[..., None], axis=2)   # [B,G,S,L]
+
+    ag = params["AttentionGated_0"]
+    eye = jnp.eye(ldim, dtype=w1.dtype)
+    zb = jnp.zeros((ldim,), jnp.float32)
+    bag, logits = gated_attn_pool_grad(
+        gfeat.reshape(b * g, s, ldim), gmask.reshape(b * g, s), eye, zb,
+        ag["Dense_0"]["kernel"], ag["Dense_0"]["bias"],
+        ag["Dense_1"]["kernel"], ag["Dense_1"]["bias"],
+        ag["Dense_2"]["kernel"], ag["Dense_2"]["bias"], chunk)
+    pooled = bag.reshape(b, g, ldim)                         # [B,G,L]
+    a = logits.reshape(b, g, s)                              # raw logits
+    attn = masked_softmax(a, gmask)
+
+    t_w, t_b = params["tier1_w"], params["tier1_b"]
+    sub_preds = pooled @ t_w + t_b                           # [B,G,C]
+
+    # CAM per-patch logits (no bias) → positive-class prob for ranking
+    cam = (gfeat * attn[..., None]) @ t_w                    # [B,G,S,C]
+    patch_prob = jax.nn.softmax(cam, axis=-1)[..., -1]       # [B,G,S]
+
+    k = min(instance_per_group, s)
+    _, top_idx = jax.lax.top_k(masked_fill(patch_prob, gmask), k)
+    _, bot_idx = jax.lax.top_k(masked_fill(-patch_prob, gmask), k)
+
+    def gather_feats(idx):
+        return jnp.take_along_axis(gfeat, idx[..., None], axis=2)
+
+    def gather_mask(idx):
+        return jnp.take_along_axis(gmask, idx, axis=2)
+
+    if distill == "MaxMinS":
+        d_idx = jnp.concatenate([top_idx, bot_idx], axis=-1)
+        d_feat = gather_feats(d_idx).reshape(b, g * 2 * k, -1)
+        d_mask = gather_mask(d_idx).reshape(b, g * 2 * k)
+    elif distill == "MaxS":
+        d_feat = gather_feats(top_idx).reshape(b, g * k, -1)
+        d_mask = gather_mask(top_idx).reshape(b, g * k)
+    else:  # AFS
+        d_feat = pooled
+        d_mask = gmask.any(axis=-1)
+
+    # tier-2 over stop-gradient distilled features (M ≈ G·2k — tiny)
+    d_feat = jax.lax.stop_gradient(d_feat)
+    ag2 = params["AttentionGated_1"]
+    av = jnp.tanh(d_feat @ ag2["Dense_0"]["kernel"]
+                  + ag2["Dense_0"]["bias"])
+    au = jax.nn.sigmoid(d_feat @ ag2["Dense_1"]["kernel"]
+                        + ag2["Dense_1"]["bias"])
+    a2 = jnp.swapaxes((av * au) @ ag2["Dense_2"]["kernel"]
+                      + ag2["Dense_2"]["bias"], -1, -2)      # [B,1,M]
+    attn2 = masked_softmax(a2, d_mask[:, None, :])
+    slide_feat = jnp.einsum("bkm,bml->bkl", attn2, d_feat)[:, 0]
+    cls = params["Classifier1fc_0"]["Dense_0"]
+    slide_preds = slide_feat @ cls["kernel"] + cls["bias"]
+
+    return {
+        "logits": slide_preds,
+        "sub_preds": sub_preds,
+        "group_valid": gmask.any(axis=-1),
+        "attn": masked_fill(a, gmask),
+    }
+
+
 def clam_apply_fused(params, feats, mask, label=None,
                      instance_eval: bool = False, *, n_class: int,
                      k_sample: int = 8, subtyping: bool = False,

@@ -700,6 +700,78 @@ def test_clam_fused_train_step_matches_unfused():
                                        rtol=2e-3, atol=2e-4)
 
 
+def _dtfd_fused_case(fused, distill="MaxMinS"):
+    """DTFD train loss/grads + eval outputs under the given fused flag
+    (stock build — droprate 0). Pins ``fast.FUSE_MIN_N`` to 0 so the
+    kernel engages at the tiny test group size."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.engine.train import _conf_dict
+    from acmil_tpu.models import build_mil_model, fast
+
+    rs = np.random.RandomState(11)
+    bag = Bag(feats=jnp.asarray(rs.randn(2, 256, 32), jnp.float32),
+              mask=jnp.asarray(rs.rand(2, 256) < 0.8),
+              coords=jnp.zeros((2, 256, 2), jnp.int32),
+              label=jnp.asarray([0, 1], jnp.int32))
+    rng = jax.random.PRNGKey(0)
+    valid = bag.mask.any(axis=1)
+    conf = Config(n_class=2, D_feat=32, D_inner=16, arch="dtfd",
+                  lr=1e-3, train_epoch=1)
+    conf.extra["distill"] = distill
+    conf.extra["fused_train"] = fused
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    conf_d = _conf_dict(fam, conf)
+    assert conf_d.get("fused", False) == fused
+    assert conf_d["distill"] == distill
+    params = model.init({"params": rng}, bag.feats, bag.mask)["params"]
+    assert fast.dtfd_is_fusable(params)
+
+    def loss_fn(params):
+        outputs = fam.train_outputs(model.apply, params, bag,
+                                    {"stkim": rng, "dropout": rng}, conf_d)
+        loss, _ = fam.loss(outputs, bag, valid, conf_d)
+        return loss
+
+    min_n = fast.FUSE_MIN_N
+    fast.FUSE_MIN_N = 0
+    try:
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        ev = fam.eval_outputs(model.apply, params, bag, fused=fused,
+                              model=model)
+    finally:
+        fast.FUSE_MIN_N = min_n
+    return (float(loss), jax.tree_util.tree_leaves(grads), ev)
+
+
+def test_dtfd_fused_train_step_matches_unfused():
+    """DTFDFamily fused routing (models/fast.py::dtfd_apply_fused):
+    pseudo-bag grouping is bit-identical (flax-derived stkim rng), and
+    the two-tier loss, every gradient, and the eval outputs match
+    model.apply across all three distill modes."""
+    for distill in ["MaxMinS", "MaxS", "AFS"]:
+        l0, g0, ev0 = _dtfd_fused_case(False, distill)
+        l1, g1, ev1 = _dtfd_fused_case(True, distill)
+        np.testing.assert_allclose(l0, l1, rtol=2e-4,
+                                   err_msg=f"{distill} loss")
+        for a0, a1 in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                       rtol=3e-3, atol=3e-5,
+                                       err_msg=f"{distill} grads")
+        for k in ["logits", "sub_preds", "attn"]:
+            np.testing.assert_allclose(np.asarray(ev0[k]),
+                                       np.asarray(ev1[k]),
+                                       rtol=2e-3, atol=2e-4,
+                                       err_msg=f"{distill} eval {k}")
+        assert (np.asarray(ev0["group_valid"])
+                == np.asarray(ev1["group_valid"])).all()
+
+
 def test_dsmil_pool_kernel_matches_reference():
     """ops/dsmil_pool.py streaming kernel vs the jnp formulation,
     including a multi-chunk online softmax and masked rows."""
