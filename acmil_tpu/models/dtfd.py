@@ -152,12 +152,15 @@ class DTFDFamily(Family):
     softmax(tier-2) (`Step3_DTFD:222-226`).
 
     Fused routing (VERDICT r3 item 2, last of SURVEY §7's five pooling
-    heads): the per-pseudo-bag gated-attention pooling runs the
-    streaming Pallas kernel (models/fast.py::dtfd_apply_fused) when the
-    per-group length ``N / num_group`` clears the measured crossover
-    (``fast.FUSE_MIN_N`` — the kernel streams groups as independent
-    bags, so the GROUP size is what it sees). Mesh runs and
-    residual-block reductions keep model.apply."""
+    heads): the per-pseudo-bag gated-attention pooling can run the
+    streaming Pallas kernel (models/fast.py::dtfd_apply_fused), gated on
+    the per-group length ``N / num_group`` (the kernel streams groups as
+    independent bags, so the GROUP size is what it sees). The gate
+    (``fast.DTFD_FUSE_MIN_S``) defaults to OFF: measured 0.89-0.94x at
+    every size up to N=262k on v5e (BENCH_NOTES r4 — DTFD pools the
+    narrow dim-reduced array, so XLA never hits the wide-activation
+    cliff CLAM/DSMIL's kernels win on). Mesh runs and residual-block
+    reductions keep model.apply."""
 
     name = "dtfd"
 
@@ -177,10 +180,11 @@ class DTFDFamily(Family):
         from acmil_tpu.models import fast
 
         return (conf_d.get("fused", False) and conf_d.get("mesh") is None
+                and fast.DTFD_FUSE_MIN_S is not None
                 and fast.dtfd_is_fusable(params)
                 and bag.feats.shape[1] % conf_d["num_group"] == 0
                 and (bag.feats.shape[1] // conf_d["num_group"]
-                     >= fast.FUSE_MIN_N))
+                     >= fast.DTFD_FUSE_MIN_S))
 
     @staticmethod
     def _fused_kw(conf_d):

@@ -22,6 +22,15 @@ from acmil_tpu.ops.attn_pool import fused_gated_attn_pool
 # heads are NOT gated by this — their fused path wins at every bucket.
 FUSE_MIN_N = 49152
 
+# DTFD's fused route measured NEGATIVE at every size (BENCH_NOTES r4:
+# 0.89-0.94x at N=16k/64k/262k, i.e. per-group S up to 65k): unlike
+# CLAM/DSMIL, DTFD pools the NARROW dim-reduced array, so the plain XLA
+# graph never hits the wide-activation cliff the kernels win on — both
+# paths are dominated by the shared reduction GEMM + permutation gather
+# + CAM. None = never route (tests/bench pin to 0); the minimum
+# per-group length to engage at if a future geometry changes the call.
+DTFD_FUSE_MIN_S = None
+
 # Smallest kept softmax mass (1 − Σ dropped probabilities) the O(K·k)
 # STKIM subtract-renormalise identity stays accurate for in f32:
 # relative error ≈ ε / kept_mass ≈ 6e-8 / 1e-5 ≈ 6e-3. Below it the
@@ -317,10 +326,12 @@ def dtfd_is_fusable(params) -> bool:
 def dtfd_apply_fused(params, feats, mask, *, num_group: int,
                      instance_per_group: int, distill: str = "MaxMinS",
                      rng=None, chunk: int = 1024):
-    """Fused DTFD forward (eval always; train — droprate is 0 in the
-    stock build). Matches ``DTFD.__call__`` on the same param tree
-    (reference two-tier protocol `Step3_WSI_classification_DTFD.py:61-160`,
-    CAM trick `utils/utils.py:48`).
+    """Fused DTFD forward. Matches ``DTFD.__call__`` on the same param
+    tree (reference two-tier protocol
+    `Step3_WSI_classification_DTFD.py:61-160`, CAM trick
+    `utils/utils.py:48`). NOT routed by default: measured 0.89-0.94x vs
+    the plain XLA graph at every size up to N=262k (BENCH_NOTES r4) —
+    see ``DTFD_FUSE_MIN_S``.
 
     The per-pseudo-bag gated-attention pooling runs the streaming Pallas
     kernel with an **identity first layer**: the dim-reduced features

@@ -33,6 +33,7 @@ from acmil_tpu.models import build_mil_model, fast
 
 # measure the kernel at every N, not just past the production threshold
 fast.FUSE_MIN_N = 0
+fast.DTFD_FUSE_MIN_S = 0  # production default is OFF (measured negative)
 
 
 def _chain_ms(step, x0, inner, k0=4, k1=24, reps=3):

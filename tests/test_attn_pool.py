@@ -702,8 +702,9 @@ def test_clam_fused_train_step_matches_unfused():
 
 def _dtfd_fused_case(fused, distill="MaxMinS"):
     """DTFD train loss/grads + eval outputs under the given fused flag
-    (stock build — droprate 0). Pins ``fast.FUSE_MIN_N`` to 0 so the
-    kernel engages at the tiny test group size."""
+    (stock build — droprate 0). Pins ``fast.DTFD_FUSE_MIN_S`` to 0 so
+    the kernel engages (production default is OFF — measured negative,
+    BENCH_NOTES r4)."""
     import jax
     import jax.numpy as jnp
 
@@ -738,14 +739,14 @@ def _dtfd_fused_case(fused, distill="MaxMinS"):
         loss, _ = fam.loss(outputs, bag, valid, conf_d)
         return loss
 
-    min_n = fast.FUSE_MIN_N
-    fast.FUSE_MIN_N = 0
+    min_s = fast.DTFD_FUSE_MIN_S
+    fast.DTFD_FUSE_MIN_S = 0
     try:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         ev = fam.eval_outputs(model.apply, params, bag, fused=fused,
                               model=model)
     finally:
-        fast.FUSE_MIN_N = min_n
+        fast.DTFD_FUSE_MIN_S = min_s
     return (float(loss), jax.tree_util.tree_leaves(grads), ev)
 
 
