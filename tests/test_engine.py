@@ -167,3 +167,38 @@ def test_mhim_step_uses_reference_teacher_temperature():
     _, aux_01 = fam.make_step_body(model, conf3)(state, bag, rng)
     np.testing.assert_allclose(float(aux_default["cls_loss"]),
                                float(aux_01["cls_loss"]), rtol=1e-6)
+
+
+def test_make_eval_step_threads_model_to_dtfd_fused_route():
+    """engine.train._eval_outputs_fn passes the module to families whose
+    fused route needs its hyperparameters (DTFD): with the gate pinned
+    open, make_eval_step's probs match the ungated model.apply path."""
+    import jax
+    import jax.numpy as jnp
+
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine.train import make_eval_step
+    from acmil_tpu.models import build_mil_model, fast
+
+    rs = np.random.RandomState(5)
+    conf = Config(n_class=2, D_feat=24, D_inner=16, arch="dtfd",
+                  train_epoch=1, lr=1e-3)
+    model, fam_name = build_mil_model(conf)
+    bag = Bag(feats=jnp.asarray(rs.randn(1, 64, 24), jnp.float32),
+              mask=jnp.asarray(rs.rand(1, 64) < 0.8),
+              coords=jnp.zeros((1, 64, 2), jnp.int32),
+              label=jnp.asarray([1], jnp.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        bag.feats, bag.mask)["params"]
+
+    plain = make_eval_step(model, family=fam_name, fused=False)(params, bag)
+    min_s = fast.DTFD_FUSE_MIN_S
+    fast.DTFD_FUSE_MIN_S = 0
+    try:
+        fused = make_eval_step(model, family=fam_name, fused=True)(params,
+                                                                   bag)
+    finally:
+        fast.DTFD_FUSE_MIN_S = min_s
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=2e-4, atol=2e-5)
