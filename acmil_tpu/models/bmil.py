@@ -86,7 +86,14 @@ class LinearVDO(nn.Module):
                  init_fn=lambda: jnp.zeros(()), reduce_fn=lambda a, b: a + b)
         if deterministic:
             return mu
-        var = (x * x) @ (jnp.exp(log_alp) * w * w + _EPS)
+        # the reference adds eps INSIDE the matmul only
+        # (`linear_vdo.py:42-48`), so var is exactly 0 for an all-zero
+        # input row and sqrt'(0)=inf NaNs the backward. The reference
+        # never pads so never sees zero rows; our padded bags do (zero
+        # feats + zero-init biases) — the extra eps outside keeps the
+        # sqrt gradient finite (0-cotangent padded rows then contribute
+        # exactly 0) and shifts real activations by < 1e-8.
+        var = (x * x) @ (jnp.exp(log_alp) * w * w + _EPS) + _EPS
         eps = jax.random.normal(self.make_rng("dropout"), mu.shape, mu.dtype)
         return mu + eps * jnp.sqrt(var)
 
@@ -119,7 +126,9 @@ class Conv2dVDO(nn.Module):
             return mu
         var = jax.lax.conv_general_dilated(
             x * x, jnp.exp(log_alp) * w * w + _EPS, (1, 1),
-            ((pad, pad), (pad, pad)), dimension_numbers=dn)
+            ((pad, pad), (pad, pad)), dimension_numbers=dn) + _EPS
+        # + _EPS outside: all-zero input windows (padded grid regions)
+        # otherwise hit sqrt'(0)=inf in the backward — see LinearVDO
         eps = jax.random.normal(self.make_rng("dropout"), mu.shape, mu.dtype)
         return mu + eps * jnp.sqrt(var)
 

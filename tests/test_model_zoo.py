@@ -76,6 +76,31 @@ def test_masked_slots_are_inert(arch, tiny_conf):
         np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("arch", ARCHS)
+def test_grads_finite_on_zero_padded_bags(arch, tiny_conf):
+    """One real (stochastic) train step on a bag padded the way the loader
+    pads — zero feats in masked slots — must produce finite loss and
+    updates. Regression for the r5 BMIL NaN: LinearVDO's sampled variance
+    is x²@(αw²+ε), exactly 0 for an all-zero row (zero-init biases), and
+    sqrt'(0)=inf poisoned the whole backward even though the padded rows'
+    cotangents were zero (the reference never pads so never hits this,
+    `linear_vdo.py:42-48`)."""
+    model, family = _build(arch, tiny_conf)
+    rs = np.random.RandomState(2)
+    bag = _make_bag(rs)
+    feats = np.asarray(bag.feats).copy()
+    feats[~np.asarray(bag.mask)] = 0.0        # the loader's real padding
+    bag = Bag(feats=jnp.asarray(feats), mask=bag.mask, coords=bag.coords,
+              label=bag.label)
+    rng = jax.random.PRNGKey(3)
+    state = create_train_state(model, tiny_conf, rng, bag, 4, family=family)
+    step = make_train_step(model, tiny_conf, family)
+    state, aux = step(state, bag, rng)
+    assert np.isfinite(float(aux["loss"])), aux
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 @pytest.mark.parametrize("arch", ["clam_sb", "clam_mb", "dsmil", "transmil",
                                   "meanmil", "dtfd", "ibmil", "bmil_spvis",
                                   "ilra", "mhim", "lbmil", "ips"])
