@@ -29,6 +29,7 @@ import argparse
 import ast
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -107,6 +108,8 @@ data_dir: {work}/data
 split_dir: {work}/splits
 wandb_mode: disabled
 min_bucket: 2048
+feat_d: 384
+patch_size: 512
 """
     path = f"{work}/cfg.yml"
     with open(path, "w") as f:
@@ -165,6 +168,28 @@ RECIPES = {
              {"arch": "ilra"}),
     "dsmil": ("Step3_WSI_classification.py", ["--arch", "dsmil"],
               {"arch": "dsmil"}),
+    # remaining generic-trainer archs (`Step3_WSI_classification.py:120-146`):
+    # mha = the single-query MutiHeadAttention baseline
+    # (`architecture/transformer.py:86` — our registry calls it
+    # mha_single; our 'mha' is the ACMIL script's ACMIL_MHA), mean/max
+    # the modules/mean_max.py heads, bmil_spvis the variational-dropout
+    # spatial head whose KL terms ride the engine's bmil loss branch
+    # (`engine.py:66-98`). min_bucket 256 for bmil_spvis for the same
+    # CPU-waste reason as transmil (its grid scatter + VDO layers run
+    # per padded row).
+    "mha": ("Step3_WSI_classification.py", ["--arch", "mha"],
+            {"arch": "mha_single"}),
+    "meanmil": ("Step3_WSI_classification.py", ["--arch", "meanmil"],
+                {"arch": "meanmil"}),
+    "maxmil": ("Step3_WSI_classification.py", ["--arch", "maxmil"],
+               {"arch": "maxmil"}),
+    "bmil_spvis": ("Step3_WSI_classification.py", ["--arch", "bmil_spvis"],
+                   {"arch": "bmil_spvis", "min_bucket": 256}),
+    # two-phase IBMIL protocol (`Step3_WSI_classification_IBMIL.py` +
+    # `IBMIL_clustering.py`): phase-1 plain attention train, k=8
+    # confounder dictionary over train bag features, phase-2 retrain
+    # with --c_path. Handled by run_*_ibmil below.
+    "ibmil": (None, None, None),
     # two-stage MHIM protocol (`Step3_WSI_classification_MHIM.py`):
     # stage A pretrains the 'pure' baseline, stage B trains the MHIM
     # student with the stage-A best checkpoint as teacher and
@@ -218,9 +243,50 @@ def _run_ref_script(work: str, cfg: str, seed: int, script: str,
 def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
     if recipe == "mhim":
         return run_reference_mhim(work, cfg, seed)
+    if recipe == "ibmil":
+        return run_reference_ibmil(work, cfg, seed)
     script, ref_flags, _ = RECIPES[recipe]
     return _run_ref_script(work, cfg, seed, script, ref_flags,
                            shim_dir=f"{work}/ref_{recipe}_s{seed}")
+
+
+def run_reference_ibmil(work: str, cfg: str, seed: int) -> dict:
+    """Drive the reference's full two-phase IBMIL protocol. Phase 1:
+    `Step3_WSI_classification_IBMIL.py` without --c_path (plain gated
+    attention, `:157,211`). Clustering: `IBMIL_clustering.py` loads the
+    phase-1 best checkpoint from the CWD-relative path it hardcodes
+    (`./saved_models/ds_{dataset}_{pretrain}_arch_ibmil/{seed}/`,
+    `IBMIL_clustering.py:192-195`), forwards the train split, and saves
+    the k=8 centroid dictionary under `./datasets_deconf/` (`:140-145`);
+    its faiss GPU k-means runs on the numpy shim (refshims/faiss).
+    Phase 2: same script with --c_path, which resolves the npy by the
+    naming convention at `Step3_IBMIL:70-71`. The phase-2 best-epoch
+    metrics are the protocol's result."""
+    root1 = f"{work}/ref_ibmil1_s{seed}"
+    _run_ref_script(work, cfg, seed, "Step3_WSI_classification_IBMIL.py",
+                    [], shim_dir=f"{root1}/run")
+    ckpt = f"{root1}/saved_models/checkpoint-best.pth"
+    if not os.path.exists(ckpt):
+        raise RuntimeError(f"phase-1 IBMIL checkpoint missing: {ckpt}")
+    dst = f"{work}/saved_models/ds_camelyon_medical_ssl_arch_ibmil/{seed}"
+    os.makedirs(dst, exist_ok=True)
+    shutil.copyfile(ckpt, f"{dst}/checkpoint-best.pth")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([SHIMS, REF])
+    env["HDF5_USE_FILE_LOCKING"] = "FALSE"
+    out = subprocess.run(
+        [sys.executable, f"{REF}/IBMIL_clustering.py",
+         "--config", cfg, "--seed", str(seed)],
+        cwd=work, env=env, capture_output=True, text=True, timeout=3600)
+    npy = (f"{work}/datasets_deconf/camelyon/train_bag_cls_agnostic_feats_"
+           f"proto_8_pretrain_medical_ssl_seed_{seed}.npy")
+    if out.returncode != 0 or not os.path.exists(npy):
+        raise RuntimeError(f"reference IBMIL clustering failed:\n"
+                           f"{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+    return _run_ref_script(work, cfg, seed,
+                           "Step3_WSI_classification_IBMIL.py", ["--c_path"],
+                           shim_dir=f"{work}/ref_ibmil2_s{seed}/run")
 
 
 def run_reference_mhim(work: str, cfg: str, seed: int) -> dict:
@@ -291,9 +357,45 @@ def run_ours(work: str, cfg: str, recipe: str, seed: int,
              platform: str | None = None) -> dict:
     if recipe == "mhim":
         return run_ours_mhim(work, cfg, seed, platform)
+    if recipe == "ibmil":
+        return run_ours_ibmil(work, cfg, seed, platform)
     _, _, overrides = RECIPES[recipe]
     return _run_ours_cli(work, cfg, overrides, f"cfg_{recipe}", seed,
                          f"{work}/ours_{recipe}_s{seed}", platform)
+
+
+def run_ours_ibmil(work: str, cfg: str, seed: int,
+                   platform: str | None = None) -> dict:
+    """Mirror of run_reference_ibmil through our CLI: phase-1 arch=ibmil
+    train, our `IBMIL_clustering.py` (XLA Lloyd k-means, seed 66 like the
+    reference's `reduce`, `IBMIL_clustering.py:128`), phase-2 with
+    `c_path` pointing at the saved prototypes. selection_f1=micro: the
+    IBMIL script uses torchmetrics' default like ACMIL
+    (`Step3_IBMIL:246`)."""
+    p1 = f"{work}/ours_ibmil1_s{seed}"
+    base = {"arch": "ibmil", "selection_f1": "micro"}
+    _run_ours_cli(work, cfg, base, "cfg_ibmil1", seed, p1, platform)
+
+    env = dict(os.environ)
+    if platform == "cpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")])
+    deconf = f"{work}/ours_deconf_s{seed}"
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/IBMIL_clustering.py",
+         "--config", f"{work}/cfg_ibmil1.yml", "--ckpt_dir", p1,
+         "--out_dir", deconf],
+        cwd=work, env=env, capture_output=True, text=True, timeout=3600)
+    npy = (f"{deconf}/camelyon/train_bag_cls_agnostic_feats_proto_8_"
+           f"pretrain_medical_ssl_seed_{seed}.npy")
+    if out.returncode != 0 or not os.path.exists(npy):
+        raise RuntimeError(f"our IBMIL clustering failed:\n"
+                           f"{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+    return _run_ours_cli(work, cfg, {**base, "c_path": [npy]},
+                         f"cfg_ibmil2_s{seed}", seed,
+                         f"{work}/ours_ibmil2_s{seed}", platform)
 
 
 def run_ours_mhim(work: str, cfg: str, seed: int,
@@ -316,8 +418,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--lr", type=float, default=1e-4,
                     help="shared optimizer lr written into the matched "
-                         "config (use a separate --work per lr: the "
-                         "resume key does not include it)")
+                         "config (part of the resume key: re-invoking an "
+                         "existing --work with a new lr re-runs)")
     ap.add_argument("--recipes", default="abmil,acmil")
     ap.add_argument("--seeds", default="1,4")
     ap.add_argument("--ours-platform", default=None,
@@ -333,18 +435,22 @@ def main():
     cfg = write_config(work, args.epochs, args.lr)
 
     # resumable: completed runs live in head_to_head.jsonl and are
-    # skipped. The key includes epochs so a re-invocation with a
-    # different --epochs re-runs instead of mixing stale rows into the
-    # parity table; rows from other epoch counts are kept in the log but
-    # excluded from this invocation's summary.
+    # skipped. The key includes epochs AND lr so a re-invocation with a
+    # different budget or learning rate re-runs instead of mixing stale
+    # rows into the parity table; rows from other (epochs, lr) settings
+    # are kept in the log but excluded from this invocation's summary.
+    # (lr is None in pre-r4 rows, which ran at the 1e-4 default — treat
+    # those as 1e-4 so old logs keep resuming.)
     log = f"{work}/head_to_head.jsonl"
     prior = []
     if os.path.exists(log):
         with open(log) as f:
             prior = [json.loads(l) for l in f if l.strip()]
-    done = {(r["recipe"], r["seed"], r["framework"], r.get("epochs"))
+    done = {(r["recipe"], r["seed"], r["framework"], r.get("epochs"),
+             r.get("lr", 1e-4) or 1e-4)
             for r in prior}
-    results = [r for r in prior if r.get("epochs") == args.epochs]
+    results = [r for r in prior if r.get("epochs") == args.epochs
+               and (r.get("lr", 1e-4) or 1e-4) == args.lr]
 
     def record(r):
         results.append(r)
@@ -354,12 +460,13 @@ def main():
 
     for recipe in args.recipes.split(","):
         for seed in seeds:
-            if (recipe, seed, "torch-reference", args.epochs) not in done:
+            if (recipe, seed, "torch-reference", args.epochs,
+                    args.lr) not in done:
                 ref = run_reference(work, cfg, recipe, seed)
                 ref.update(recipe=recipe, seed=seed, epochs=args.epochs,
                            lr=args.lr, framework="torch-reference")
                 record(ref)
-            if (recipe, seed, "acmil_tpu", args.epochs) not in done:
+            if (recipe, seed, "acmil_tpu", args.epochs, args.lr) not in done:
                 ours = run_ours(work, cfg, recipe, seed,
                                 platform=args.ours_platform)
                 ours.update(recipe=recipe, seed=seed, epochs=args.epochs,

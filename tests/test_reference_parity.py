@@ -26,6 +26,13 @@ if REF not in sys.path:
     # top-level files (IBMIL_clustering.py, Step*.py) that would shadow
     # ours for any test that imports them after this module loads
     sys.path.append(REF)
+_SHIMS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts", "refshims")
+if _SHIMS not in sys.path:
+    # after REF: reference packages win; the shims only satisfy its
+    # missing deps (wandb/timm/torchmetrics/torchvision) so any parity
+    # test passes in isolation, not just after a test that stubbed them
+    sys.path.append(_SHIMS)
 
 
 class _Conf(types.SimpleNamespace):
@@ -507,6 +514,14 @@ def test_bmil_vis_parity(bag, monkeypatch):
     """BMIL-vis with the Gaussian noise suppressed: reference samples even
     in eval (linear_vdo.py forward, bmil.py reparameterize); zeroing the
     noise sources makes both sides the deterministic mean path."""
+    # reference bmil.py pulls in utils.utils which does
+    # ``from torchvision import transforms`` at module level but never
+    # uses it on this path — stub both names so the test passes in
+    # isolation (the dsmil test above stubs the bare module already)
+    tv = sys.modules.setdefault("torchvision",
+                                types.ModuleType("torchvision"))
+    if not hasattr(tv, "transforms"):
+        tv.transforms = types.ModuleType("torchvision.transforms")
     from architecture.bmil import probabilistic_MIL_Bayes_vis
 
     import jax
