@@ -38,20 +38,21 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         import hashlib as _hashlib
 
         try:
-            # hash the ISA flags AND the model identity: LLVM tuning
-            # features (+prefer-no-gather/-scatter etc.) are derived
-            # from the CPU MODEL, not the flag set, so two hosts with
-            # identical cpuinfo flags can still produce incompatible
-            # AOT entries (observed across a VM migration, r4)
-            _keys = ("flags", "model name", "cpu family", "model\t",
-                     "model:", "stepping")
+            # hash the whole first cpuinfo stanza (minus per-boot noise):
+            # LLVM tuning features (+prefer-no-gather/-scatter etc.) are
+            # derived from the CPU MODEL, not the flag set, so two hosts
+            # with identical flags can still produce incompatible AOT
+            # entries (observed across a VM migration, r4). Hashing the
+            # stanza wholesale stays architecture-agnostic (ARM cpuinfo
+            # has 'CPU part'/'Features' instead of x86's keys).
+            _volatile = ("cpu mhz", "bogomips")
             with open("/proc/cpuinfo") as _f:
                 _id = ""
                 for _l in _f:
-                    if _l.startswith(_keys):
-                        _id += _l
                     if _l.strip() == "":
                         break  # first core only — all cores identical
+                    if not _l.lower().startswith(_volatile):
+                        _id += _l
             _suffix += "-" + _hashlib.sha1(_id.encode()).hexdigest()[:8]
         except OSError:
             pass

@@ -173,13 +173,18 @@ class DTFDFamily(Family):
         d["instance_per_group"] = max(1, total_instance // num_group)
         d["distill"] = str(getattr(conf, "distill", "MaxMinS"))
         d["fused"] = bool(conf.extra.get("fused_train", True))
+        d["droprate"] = float(getattr(conf, "droprate", 0.0))
         return d
 
     @staticmethod
     def _fused_ok(params, bag, conf_d):
         from acmil_tpu.models import fast
 
+        # droprate guards like ACMILFamily's dropout fallback: dropout
+        # has no params so dtfd_is_fusable can't see it — the fused path
+        # would silently skip it (ADVICE r4)
         return (conf_d.get("fused", False) and conf_d.get("mesh") is None
+                and conf_d.get("droprate", 0.0) == 0.0
                 and fast.DTFD_FUSE_MIN_S is not None
                 and fast.dtfd_is_fusable(params)
                 and bag.feats.shape[1] % conf_d["num_group"] == 0
@@ -210,7 +215,8 @@ class DTFDFamily(Family):
             conf_d = {"fused": True, "mesh": None,
                       "num_group": model.num_group,
                       "instance_per_group": model.instance_per_group,
-                      "distill": model.distill}
+                      "distill": model.distill,
+                      "droprate": model.droprate}
             if self._fused_ok(params, bag, conf_d):
                 from acmil_tpu.models import fast
 
@@ -272,4 +278,5 @@ def _dtfd(conf):
         num_group=num_group,
         instance_per_group=max(1, total_instance // num_group),
         distill=str(getattr(conf, "distill", "MaxMinS")),
+        droprate=float(getattr(conf, "droprate", 0.0)),
     )
