@@ -106,16 +106,25 @@ class SAttentionEncoder(nn.Module):
     heads: int = 8
     pos: str = "ppeg"
     dtype: jnp.dtype = jnp.float32
+    # 'wrap': strict reference numerics for serving imported torch
+    # checkpoints — the sequence stays unpadded through the TransLayers
+    # (Nystrom front-pads attend as real rows, `nystrom_attention.py:73`)
+    # and the PPEG grid is padded by wrapping the sequence
+    # (`modules/emb_position.py:18-25`), assuming a full mask like the
+    # reference (which never pads bags). Default 'zero' keeps the
+    # mask-correct TPU behaviour.
+    pad_mode: str = "zero"
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
         b, n, _ = x.shape
-        gh, gw = _grid_shape(n)
+        strict = self.pad_mode == "wrap"
+        gh, gw = _grid_shape(n, square=strict)
         grid_n = gh * gw
         if mask is None:
             mask = jnp.ones((b, n), bool)
-        if grid_n > n:
+        if grid_n > n and not strict:
             x = jnp.pad(x, ((0, 0), (0, grid_n - n), (0, 0)))
             mask = jnp.pad(mask, ((0, 0), (0, grid_n - n)))
         x = x * mask[..., None].astype(x.dtype)
@@ -128,18 +137,31 @@ class SAttentionEncoder(nn.Module):
         def rezero(t):
             return t * fmask[..., None].astype(t.dtype)
 
+        def translayer():
+            return TransLayer(self.dim, self.dtype, strict_pad=strict,
+                              kernel_init=_txn,
+                              bias_init=nn.initializers.zeros)
+
         attns = []
         if return_attn:
-            h, a1 = TransLayer(self.dim, self.dtype,
-                       kernel_init=_txn,
-                       bias_init=nn.initializers.zeros)(h, fmask, deterministic,
-                                                     return_attn_rows=1)
+            h, a1 = translayer()(h, fmask, deterministic,
+                                 return_attn_rows=1)
             attns.append(a1[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim, self.dtype,
-                       kernel_init=_txn,
-                       bias_init=nn.initializers.zeros)(h, fmask, deterministic)
-        if self.pos == "ppeg":
+            h = translayer()(h, fmask, deterministic)
+        if self.pos == "ppeg" and strict:
+            # reference PPEG grid handling (`emb_position.py:12-39`): wrap
+            # the body to the square grid, zero-fill up to 7x7 if smaller,
+            # conv, truncate back to n; cls stays untouched
+            body = h[:, 1:]
+            if grid_n > n:
+                body = jnp.concatenate([body, body[:, :grid_n - n]], axis=1)
+            if gh < 7:
+                body = jnp.pad(body, ((0, 0), (0, 49 - grid_n), (0, 0)))
+                gh = gw = 7
+            hp = PPEG(self.dim)(jnp.concatenate([h[:, :1], body], 1), gh, gw)
+            h = jnp.concatenate([h[:, :1], hp[:, 1:1 + n]], axis=1)
+        elif self.pos == "ppeg":
             h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
         elif self.pos in ("peg", "sincos"):
             from acmil_tpu.models.emb_position import PEG, SINCOS
@@ -151,15 +173,11 @@ class SAttentionEncoder(nn.Module):
             body = emb(rezero(h)[:, 1:], gh, gw)
             h = rezero(jnp.concatenate([h[:, :1], body], axis=1))
         if return_attn:
-            h, a2 = TransLayer(self.dim, self.dtype,
-                       kernel_init=_txn,
-                       bias_init=nn.initializers.zeros)(h, fmask, deterministic,
-                                                     return_attn_rows=1)
+            h, a2 = translayer()(h, fmask, deterministic,
+                                 return_attn_rows=1)
             attns.append(a2[:, 0, 1:1 + n])
         else:
-            h = TransLayer(self.dim, self.dtype,
-                       kernel_init=_txn,
-                       bias_init=nn.initializers.zeros)(h, fmask, deterministic)
+            h = translayer()(h, fmask, deterministic)
         cls_feat = nn.LayerNorm()(h[:, 0])
         if return_attn:
             return cls_feat, attns
@@ -212,6 +230,7 @@ class MHIM(nn.Module):
     attn_layer: int = 0
     msa_fusion: str = "vote"
     heads: int = 8
+    pad_mode: str = "zero"          # 'wrap': reference-exact (SAttention)
     dtype: jnp.dtype = jnp.float32
 
     def _embed(self, feats, deterministic):
@@ -224,7 +243,8 @@ class MHIM(nn.Module):
     def _encoder(self):
         if self.baseline == "selfattn":
             return SAttentionEncoder(self.mlp_dim, self.heads,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype,
+                                     pad_mode=self.pad_mode)
         return DAttentionEncoder(self.mlp_dim, act=self.da_act)
 
     @nn.compact
@@ -427,6 +447,9 @@ def _mhim_shared_kwargs(conf):
         heads=int(getattr(conf, "n_heads", 8)),
         msa_fusion=str(getattr(conf, "msa_fusion", "vote")),
         attn_layer=int(getattr(conf, "attn_layer", 0)),
+        # 'wrap' serves imported torch checkpoints with reference-exact
+        # Nystrom/PPEG padding (see SAttentionEncoder.pad_mode)
+        pad_mode=str(getattr(conf, "mhim_pad_mode", "zero")),
     )
 
 

@@ -190,6 +190,18 @@ def _nystrom(sd, prefix):
     }
 
 
+def _ppeg(sd, prefix):
+    """torch PPEG convs (proj=7x7, proj1=5x5, proj2=3x3 — identical naming
+    in `transMIL.py` and `modules/emb_position.py:5`) → our PPEG params."""
+    out = {}
+    for name, conv in [("proj7", f"{prefix}.proj"),
+                       ("proj5", f"{prefix}.proj1"),
+                       ("proj3", f"{prefix}.proj2")]:
+        out[name] = _np(sd[f"{conv}.weight"]).copy()
+        out[name + "_b"] = _np(sd[f"{conv}.bias"]).copy()
+    return out
+
+
 def convert_transmil(sd):
     """`transMIL.py:48` → models/transmil.py (mapping proven by
     test_transmil_wrap_pad_whole_model_parity). NOTE: reference-trained
@@ -199,20 +211,142 @@ def convert_transmil(sd):
         return {"LayerNorm_0": _ln(sd, f"{prefix}.norm"),
                 "NystromAttention_0": _nystrom(sd, f"{prefix}.attn")}
 
-    ppeg = {}
-    for name, conv in [("proj7", "pos_layer.proj"),
-                       ("proj5", "pos_layer.proj1"),
-                       ("proj3", "pos_layer.proj2")]:
-        ppeg[name] = _np(sd[f"{conv}.weight"]).copy()
-        ppeg[name + "_b"] = _np(sd[f"{conv}.bias"]).copy()
     return {
         "Dense_0": _lin(sd, "_fc1.0"),
         "cls_token": _np(sd["cls_token"]).copy(),
         "TransLayer_0": layer("layer1"),
-        "PPEG_0": ppeg,
+        "PPEG_0": _ppeg(sd, "pos_layer"),
         "TransLayer_1": layer("layer2"),
         "LayerNorm_0": _ln(sd, "norm"),
         "Dense_1": _lin(sd, "_fc2"),
+    }
+
+
+def convert_mhim(sd):
+    """`modules/mhim.py:36` MHIM — covers both the trained student and the
+    '--model pure' teacher checkpoints (`Step3_MHIM:312-314`), with either
+    backbone: SAttention (baseline='selfattn', `modules/satten.py:30`) or
+    DAttention (baseline='attn', `modules/datten.py`). An imported 'pure'
+    dir serves directly as our CLI's ``teacher_init``."""
+    params = {"patch_to_emb": _lin(sd, "patch_to_emb.0"),
+              "predictor": _lin(sd, "predictor")}
+    if "online_encoder.cls_token" in sd:       # SAttention
+        def layer(p):
+            return {"LayerNorm_0": _ln(sd, f"{p}.norm"),
+                    "NystromAttention_0": _nystrom(sd, f"{p}.attn")}
+
+        params["SAttentionEncoder_0"] = {
+            "cls_token": _np(sd["online_encoder.cls_token"]).copy(),
+            "TransLayer_0": layer("online_encoder.layer1"),
+            "PPEG_0": _ppeg(sd, "online_encoder.pos_embedding"),
+            "TransLayer_1": layer("online_encoder.layer2"),
+            "LayerNorm_0": _ln(sd, "online_encoder.norm"),
+        }
+    else:                                       # DAttention
+        att = "online_encoder.attention.attention"
+        idx = sorted({int(m.group(1)) for k in sd
+                      for m in [re.match(re.escape(att) + r"\.(\d+)\.weight",
+                                         k)] if m})
+        params["DAttentionEncoder_0"] = {
+            "Dense_0": _lin(sd, f"{att}.{idx[0]}"),
+            "Dense_1": _lin(sd, f"{att}.{idx[-1]}"),
+        }
+    return params
+
+
+def convert_acmil_mha(sd):
+    """`transformer.py:129` ACMIL_MHA (arch 'mha' in the ACMIL script) →
+    our single vmapped module with stacked-K params (mapping proven by
+    test_acmil_mha_parity)."""
+    def stack_lin(pat):
+        return {"kernel": _stacked(sd, pat + ".weight",
+                                   lambda a: a.T.copy()),
+                "bias": _stacked(sd, pat + ".bias", lambda a: a.copy())}
+
+    vm = {f"Dense_{i}": stack_lin(f"sub_attention.{{}}.{p}")
+          for i, p in enumerate(("q_proj", "k_proj", "v_proj", "out_proj"))}
+    vm["LayerNorm_0"] = {
+        "scale": _stacked(sd, "sub_attention.{}.layer_norm.weight",
+                          lambda a: a.copy()),
+        "bias": _stacked(sd, "sub_attention.{}.layer_norm.bias",
+                         lambda a: a.copy()),
+    }
+    return {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": _np(sd["dimreduction.fc1.weight"]).T.copy()}},
+        "q": _np(sd["q"]).copy(),
+        "VmapMultiHeadAttention_0": vm,
+        "branch_w": _stacked(sd, "classifier.{}.fc.weight",
+                             lambda a: a.T.copy()),
+        "branch_b": _stacked(sd, "classifier.{}.fc.bias",
+                             lambda a: a.copy()),
+        "BagAttention_0": {
+            "Dense_0": _lin(sd, "bag_attention.v_proj"),
+            "Dense_1": _lin(sd, "bag_attention.out_proj"),
+            "LayerNorm_0": _ln(sd, "bag_attention.layer_norm"),
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(sd, "Slide_classifier.fc")},
+    }
+
+
+def convert_mha_single(sd):
+    """`transformer.py:86` MHA (the generic trainer's arch 'mha' →
+    our 'mha_single'; mapping proven by test_mha_single_query_parity)."""
+    return {
+        "DimReduction_0": {"Dense_0": {
+            "kernel": _np(sd["dimreduction.fc1.weight"]).T.copy()}},
+        "q": _np(sd["q"]).copy(),
+        "MultiHeadAttention_0": {
+            "Dense_0": _lin(sd, "attention.q_proj"),
+            "Dense_1": _lin(sd, "attention.k_proj"),
+            "Dense_2": _lin(sd, "attention.v_proj"),
+            "Dense_3": _lin(sd, "attention.out_proj"),
+            "LayerNorm_0": _ln(sd, "attention.layer_norm"),
+        },
+        "Classifier1fc_0": {"Dense_0": _lin(sd, "classifier.fc")},
+    }
+
+
+def convert_attmil(sd):
+    """`architecture/attmil.py:100` DAttention (arch 'attmil') and `:45`
+    AttentionGated ('attmil_gated') — told apart by the gate's
+    ``attention_c`` key."""
+    if "attention_c.weight" in sd:
+        return {"Dense_0": _lin(sd, "feature.0"),
+                "Dense_1": _lin(sd, "attention_a.0"),
+                "Dense_2": _lin(sd, "attention_b.0"),
+                "Dense_3": _lin(sd, "attention_c"),
+                "Dense_4": _lin(sd, "classifier.0")}
+    # ungated: flax numbers by CONSTRUCTION order and the model builds
+    # the outer 1-unit Dense before the inner tanh Dense
+    # (models/attmil.py `XDense(1)(jnp.tanh(XDense(d_attn)(h)))`)
+    return {"Dense_0": _lin(sd, "feature.0"),
+            "Dense_1": _lin(sd, "attention.2"),
+            "Dense_2": _lin(sd, "attention.0"),
+            "Dense_3": _lin(sd, "classifier.0")}
+
+
+def convert_bmil_vis(sd):
+    """`architecture/bmil.py` probabilistic_MIL_Bayes_vis: Linear stem +
+    Attn_Net_Gated (index inside ``attention_net`` shifts with the dropout
+    flag, located by pattern, like CLAM) + LinearVDO head (weight/bias/
+    log_alp, `linear_vdo.py`)."""
+    m = None
+    for k in sd:
+        m = m or re.match(r"attention_net\.(\d+)\.attention_a\.0\.weight", k)
+    if m is None:
+        raise KeyError("no Attn_Net_Gated inside attention_net")
+    ang = f"attention_net.{m.group(1)}"
+    return {
+        "Dense_0": _lin(sd, "attention_net.0"),
+        "Dense_1": _lin(sd, f"{ang}.attention_a.0"),
+        "Dense_2": _lin(sd, f"{ang}.attention_b.0"),
+        "Dense_3": _lin(sd, f"{ang}.attention_c"),
+        "LinearVDO_0": {
+            "kernel": _np(sd["classifiers.weight"]).T.copy(),
+            "bias": _np(sd["classifiers.bias"]).copy(),
+            "log_alp": _np(sd["classifiers.log_alp"]).T.copy(),
+        },
     }
 
 
@@ -267,6 +401,13 @@ CONVERTERS = {
     "maxmil": convert_mean_max,
     "transmil": convert_transmil,
     "ilra": convert_ilra,
+    "mhim": convert_mhim,
+    "pure": convert_mhim,
+    "mha": convert_acmil_mha,
+    "mha_single": convert_mha_single,
+    "attmil": convert_attmil,
+    "attmil_gated": convert_attmil,
+    "bmil_vis": convert_bmil_vis,
 }
 
 
@@ -353,6 +494,10 @@ def import_checkpoint(ckpt_path: str, out_dir: str, arch: str | None = None,
             f"  model:     {ref_shapes}\n  converted: {got_shapes}\n"
             "check --arch and the checkpoint's D_feat/D_inner/n_class")
     state = state.replace(params=params)
+    if hasattr(state, "teacher_params"):
+        # MHIM: the reference loads the same checkpoint into the teacher
+        # (`Step3_MHIM:340-356`); a fresh-init teacher would be noise
+        state = state.replace(teacher_params=params)
 
     mgr = CheckpointManager(out_dir)
     mgr.save(tag, state, epoch, conf,
