@@ -113,6 +113,56 @@ def bench_mil_latency():
     }))
 
 
+def bench_clam_fused_speedup(n_pad=65536):
+    """CLAM_SB eval pooling at 64k patches: fused Pallas kernel vs the
+    plain XLA graph (the r4 kernel win, BENCH_NOTES r4 — 2.99x measured
+    on v5e). ``vs_baseline`` IS the speedup (plain XLA = 1.0); the
+    production router only takes the kernel above ``fast.FUSE_MIN_N``
+    because the plain graph wins below the crossover."""
+    from acmil_tpu.config import Config
+    from acmil_tpu.data.bags import Bag
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.models import build_mil_model, fast
+
+    conf = Config(n_class=2, D_feat=384, D_inner=128, arch="clam_sb",
+                  lr=1e-3, train_epoch=1)
+    conf.droprate = 0.0
+    model, fam_name = build_mil_model(conf)
+    fam = get_family(fam_name)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (1, n_pad, 384), jnp.float32)
+    mask = jnp.arange(n_pad)[None] < int(n_pad * 0.9)
+    params = model.init({"params": rng}, feats, mask)["params"]
+    bag = Bag(feats=feats, mask=mask,
+              coords=jnp.zeros((1, n_pad, 2), jnp.int32),
+              label=jnp.zeros((1,), jnp.int32))
+    assert n_pad >= fast.FUSE_MIN_N, "below the production crossover"
+
+    inner = 8
+    ms = {}
+    for fused in (True, False):
+        @jax.jit
+        def step(f, fused=fused):
+            def body(_, carry):
+                f, _p = carry
+                out = fam.eval_outputs(model.apply, params,
+                                       bag.replace(feats=f), fused=fused)
+                probs = fam.probs(out)
+                return f * (1.0 + 0.0 * probs[0, 0]), probs
+
+            return jax.lax.fori_loop(
+                0, inner, body, (f, jnp.zeros((1, 2), f.dtype)))
+
+        sec = _chain_time(step, feats, lambda p: float(p[0, 0]), k0=2, k1=10)
+        ms[fused] = max(sec * 1e3 / inner, 1e-6)
+    print(json.dumps({
+        "metric": "clam_sb_fused_pool_speedup_64k",
+        "value": round(ms[False] / ms[True], 3),
+        "unit": "x_vs_xla",
+        "vs_baseline": round(ms[False] / ms[True], 3),
+    }))
+
+
 def bench_extraction_throughput(batch=512):
     """ViT-S/16 bf16 over the layer-fused Pallas path (the Step2 engine
     route picked by ``encoder_feature_fn`` for this trunk)."""
@@ -245,6 +295,7 @@ def main():
     bench_mil_latency()
     bench_train_epoch()
     bench_vitb_extraction()
+    bench_clam_fused_speedup()
 
 
 if __name__ == "__main__":
