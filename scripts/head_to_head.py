@@ -74,6 +74,71 @@ def make_data(work: str, n_slides: int = 140, d: int = 384, seed: int = 0):
     return slides, sorted(slides)
 
 
+def make_data_spatial(work: str, n_slides: int = 140, d: int = 384,
+                      seed: int = 0, frac=(0.04, 0.12), mag=(1.8, 2.8),
+                      core_k: int = 3, core_mag: float = 6.0):
+    """Spatially-structured corpus for the heads whose inductive bias the
+    default task cannot reward (VERDICT r4 'what's weak' #1): on the
+    mean-shift task with i.i.d. tumor indices both frameworks' TransMIL
+    and DSMIL sit at chance, so their head-to-head was parity-of-failure.
+
+    Structure (per slide):
+    - patches on a raster-scan grid (row-major coords, 512px pitch) —
+      the order Step1/Step2 produce on real WSIs, which is what makes
+      TransMIL's sequence->square-grid reshape + PPEG convs
+      (`architecture/transMIL.py:60-91`) see 2-D tumor blobs as
+      contiguous runs;
+    - a smooth low-rank background field shared by neighbouring patches
+      (8x8-cell latent), so local context carries information;
+    - ONE elliptical lesion blob per slide covering 4-12% of patches:
+      tumor direction u on positive slides, an equally-strong benign
+      direction v (u.v=0) on negatives — presence of *an* outlier blob
+      is uninformative, its TYPE must be classified (so DSMIL's
+      critical-instance head `architecture/dsmil.py:62-85` has to rank
+      instances by class evidence, not by norm);
+    - the 3 blob-core patches get a 6-sigma shift (above the
+      max-order-statistic of ~1k Gaussian patches), giving the
+      instance-level max a real critical instance to find.
+    """
+    sys.path.insert(0, REPO)
+    from acmil_tpu.data import write_feature_h5
+
+    rs = np.random.RandomState(seed)
+    u = np.ones(d) / np.sqrt(d)
+    v = np.tile([1.0, -1.0], d // 2) / np.sqrt(d)  # orthogonal to u
+    slides = {}
+    for i in range(n_slides):
+        n = int(rs.randint(300, 1000))
+        g = int(np.ceil(np.sqrt(n)))
+        label = i % 2
+        rows, cols = np.divmod(np.arange(n), g)        # raster order
+        coords = np.stack([cols * 512, rows * 512], axis=-1)
+        feats = rs.randn(n, d).astype(np.float32)
+        # smooth background: one 8-dim latent per 8x8-patch cell
+        cell = (rows // 8) * ((g + 7) // 8) + (cols // 8)
+        lat = rs.randn(int(cell.max()) + 1, 8) @ rs.randn(8, d) / np.sqrt(8)
+        feats += 0.7 * lat[cell].astype(np.float32)
+        # one elliptical blob; direction decides the label
+        f = rs.uniform(*frac)
+        rad = np.sqrt(f * n / np.pi)
+        cy, cx = rs.uniform(rad, g - rad, size=2)
+        ecc = rs.uniform(0.6, 1.6)
+        dist2 = ((rows - cy) * ecc) ** 2 + ((cols - cx) / ecc) ** 2
+        blob = dist2 < rad ** 2
+        direction = u if label else v
+        m = rs.uniform(*mag, size=n)
+        core = np.argsort(dist2)[:core_k]
+        m[core] = core_mag
+        feats[blob] += (m[blob, None] * direction[None, :]).astype(
+            np.float32)
+        name = f"{'test_' if i >= int(n_slides * 0.7) else ''}slide_{i:03d}"
+        slides[name] = {"feat": feats, "coords": coords, "label": label}
+    os.makedirs(f"{work}/data", exist_ok=True)
+    write_feature_h5(f"{work}/data/patch_feats_pretrain_medical_ssl.h5",
+                     slides)
+    return slides, sorted(slides)
+
+
 def write_split(work: str, names, seed: int):
     test_names = [n for n in names if n.startswith("test_")]
     rest = [n for n in names if not n.startswith("test_")]
@@ -424,11 +489,17 @@ def main():
     ap.add_argument("--seeds", default="1,4")
     ap.add_argument("--ours-platform", default=None,
                     help="force 'cpu' for our runs (default: real TPU)")
+    ap.add_argument("--task", default="default",
+                    choices=("default", "spatial"),
+                    help="synthetic corpus: 'default' (i.i.d. mean-shift "
+                         "tumor) or 'spatial' (raster-grid lesion blobs "
+                         "for transmil/dsmil; use a separate --work)")
     args = ap.parse_args()
 
     work = os.path.abspath(args.work)
     os.makedirs(work, exist_ok=True)
-    slides, names = make_data(work)
+    make = make_data_spatial if args.task == "spatial" else make_data
+    slides, names = make(work)
     seeds = [int(s) for s in args.seeds.split(",")]
     for s in seeds:
         write_split(work, names, s)
@@ -464,13 +535,15 @@ def main():
                     args.lr) not in done:
                 ref = run_reference(work, cfg, recipe, seed)
                 ref.update(recipe=recipe, seed=seed, epochs=args.epochs,
-                           lr=args.lr, framework="torch-reference")
+                           lr=args.lr, task=args.task,
+                           framework="torch-reference")
                 record(ref)
             if (recipe, seed, "acmil_tpu", args.epochs, args.lr) not in done:
                 ours = run_ours(work, cfg, recipe, seed,
                                 platform=args.ours_platform)
                 ours.update(recipe=recipe, seed=seed, epochs=args.epochs,
-                            lr=args.lr, framework="acmil_tpu")
+                            lr=args.lr, task=args.task,
+                            framework="acmil_tpu")
                 record(ours)
 
     with open(f"{work}/head_to_head.json", "w") as f:
