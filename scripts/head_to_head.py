@@ -75,8 +75,8 @@ def make_data(work: str, n_slides: int = 140, d: int = 384, seed: int = 0):
 
 
 def make_data_spatial(work: str, n_slides: int = 140, d: int = 384,
-                      seed: int = 0, frac=(0.04, 0.12), mag=(1.8, 2.8),
-                      core_k: int = 3, core_mag: float = 6.0):
+                      seed: int = 0, frac=(0.20, 0.45), mag=(3.0, 4.0),
+                      core_k: int = 5, core_mag: float = 8.0):
     """Spatially-structured corpus for the heads whose inductive bias the
     default task cannot reward (VERDICT r4 'what's weak' #1): on the
     mean-shift task with i.i.d. tumor indices both frameworks' TransMIL
@@ -96,9 +96,15 @@ def make_data_spatial(work: str, n_slides: int = 140, d: int = 384,
       is uninformative, its TYPE must be classified (so DSMIL's
       critical-instance head `architecture/dsmil.py:62-85` has to rank
       instances by class evidence, not by norm);
-    - the 3 blob-core patches get a 6-sigma shift (above the
+    - the blob-core patches get an 8-sigma shift (above the
       max-order-statistic of ~1k Gaussian patches), giving the
       instance-level max a real critical instance to find.
+
+    Default knobs are the r5 sweep's operating point (v2,
+    /root/h2h_sweep): the TORCH reference reaches test AUC 0.99
+    (transmil) / 0.86 (dsmil) at 30 epochs lr 2e-4, so the head-to-head
+    finally measures both heads where the reference actually learns
+    (the r4 comparison sat at chance on the default task).
     """
     sys.path.insert(0, REPO)
     from acmil_tpu.data import write_feature_h5
@@ -255,6 +261,11 @@ RECIPES = {
     # confounder dictionary over train bag features, phase-2 retrain
     # with --c_path. Handled by run_*_ibmil below.
     "ibmil": (None, None, None),
+    # cross-framework teacher hand-off: torch stage-A 'pure' checkpoint
+    # imported via scripts/import_torch_checkpoint.py seeds OUR student;
+    # the torch side trains its student from the SAME teacher weights,
+    # making the pair share the strongest possible common starting point.
+    "mhim_xt": (None, None, None),
     # two-stage MHIM protocol (`Step3_WSI_classification_MHIM.py`):
     # stage A pretrains the 'pure' baseline, stage B trains the MHIM
     # student with the stage-A best checkpoint as teacher and
@@ -308,6 +319,8 @@ def _run_ref_script(work: str, cfg: str, seed: int, script: str,
 def run_reference(work: str, cfg: str, recipe: str, seed: int) -> dict:
     if recipe == "mhim":
         return run_reference_mhim(work, cfg, seed)
+    if recipe == "mhim_xt":
+        return run_reference_mhim_xt(work, cfg, seed)
     if recipe == "ibmil":
         return run_reference_ibmil(work, cfg, seed)
     script, ref_flags, _ = RECIPES[recipe]
@@ -374,6 +387,58 @@ def run_reference_mhim(work: str, cfg: str, seed: int) -> dict:
         shim_dir=f"{work}/ref_mhim_s{seed}/run")
 
 
+def run_reference_mhim_xt(work: str, cfg: str, seed: int) -> dict:
+    """Stage-B student re-run from the work dir's EXISTING torch stage-A
+    teacher (trained by a prior `mhim` invocation, or trained here if
+    absent) — the torch half of the shared-teacher pair."""
+    pure_root = f"{work}/ref_mhimpure_s{seed}"
+    ckpt = f"{pure_root}/saved_models/checkpoint-best.pth"
+    if not os.path.exists(ckpt):
+        _run_ref_script(work, cfg, seed, "Step3_WSI_classification_MHIM.py",
+                        ["--model", "pure"], shim_dir=f"{pure_root}/run")
+    return _run_ref_script(
+        work, cfg, seed, "Step3_WSI_classification_MHIM.py",
+        ["--model", "mhim", "--teacher_init", ckpt,
+         "--init_stu_type", "fc"],
+        shim_dir=f"{work}/ref_mhimxt_s{seed}/run")
+
+
+def run_ours_mhim_xt(work: str, cfg: str, seed: int,
+                     platform: str | None = None) -> dict:
+    """Our student seeded from the IMPORTED torch stage-A teacher
+    (scripts/import_torch_checkpoint.py --arch pure -> cli teacher_init,
+    `Step3_MHIM:340-375` semantics) — the interop the importer exists
+    for. Requires the torch side to have run first (resume order in
+    main() guarantees it)."""
+    ckpt = f"{work}/ref_mhimpure_s{seed}/saved_models/checkpoint-best.pth"
+    if not os.path.exists(ckpt):
+        raise RuntimeError(f"torch stage-A teacher missing: {ckpt}")
+    imported = f"{work}/imported_pure_s{seed}"
+    icfg = f"{work}/cfg_import_pure.yml"
+    with open(cfg) as f:
+        base = f.read()
+    with open(icfg, "w") as f:
+        f.write(base + "\narch: pure\n" + "".join(
+            f"{k}: {v}\n" for k, v in MHIM_OURS_SHARED.items()))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"       # translation needs no TPU
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO, "/root/.axon_site", env.get("PYTHONPATH", "")])
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/import_torch_checkpoint.py",
+         "--ckpt", ckpt, "--out", imported, "--arch", "pure",
+         "--config", icfg],
+        cwd=work, env=env, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"teacher import failed:\n{out.stdout[-1500:]}\n"
+                           f"{out.stderr[-3000:]}")
+    overrides = {**MHIM_OURS_SHARED, **MHIM_OURS_STAGE_B,
+                 "teacher_init": imported}
+    return _run_ours_cli(work, cfg, overrides, f"cfg_mhimxt_s{seed}", seed,
+                         f"{work}/ours_mhimxt_s{seed}", platform)
+
+
 def _run_ours_cli(work: str, cfg: str, overrides: dict, cfg_name: str,
                   seed: int, ckpt_dir: str,
                   platform: str | None = None) -> dict:
@@ -422,6 +487,8 @@ def run_ours(work: str, cfg: str, recipe: str, seed: int,
              platform: str | None = None) -> dict:
     if recipe == "mhim":
         return run_ours_mhim(work, cfg, seed, platform)
+    if recipe == "mhim_xt":
+        return run_ours_mhim_xt(work, cfg, seed, platform)
     if recipe == "ibmil":
         return run_ours_ibmil(work, cfg, seed, platform)
     _, _, overrides = RECIPES[recipe]
