@@ -312,3 +312,55 @@ def test_mlp_head_shapes():
     x = jnp.ones((2, 5, 16))
     p = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(p, x).shape == (2, 5, 3)
+
+
+def test_spatial_corpus_structure(tmp_path):
+    """The --task spatial head-to-head corpus (scripts/head_to_head.py)
+    must keep the invariants the transmil/dsmil comparison leans on:
+    raster-order coords, one label-deciding lesion blob per slide with
+    its fraction inside the configured band, orthogonal class directions
+    (type, not presence, decides the label), and core instances above
+    the bulk."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "h2h_mod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "head_to_head.py"))
+    h2h = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(h2h)
+
+    d = 64
+    slides, names = h2h.make_data_spatial(str(tmp_path), n_slides=12, d=d,
+                                          frac=(0.20, 0.45), mag=(3.0, 4.0),
+                                          core_k=5, core_mag=8.0)
+    u = np.ones(d) / np.sqrt(d)
+    v = np.tile([1.0, -1.0], d // 2) / np.sqrt(d)
+    assert abs(float(u @ v)) < 1e-9
+    labels = [slides[n]["label"] for n in sorted(slides)]
+    assert sum(labels) == len(labels) // 2          # balanced
+    for name in names:
+        s = slides[name]
+        feats, coords = s["feat"], s["coords"]
+        n = len(feats)
+        # raster order with 512px pitch
+        g = int(np.ceil(np.sqrt(n)))
+        assert (coords[:, 0] == (np.arange(n) % g) * 512).all()
+        assert (coords[:, 1] == (np.arange(n) // g) * 512).all()
+        # the lesion lives on the LABEL direction only (type, not
+        # presence, decides the class). Projection noise is ~N(0, 1.22²)
+        # (unit Gaussian + the low-rank background), so threshold at 2.5
+        # where noise passes ~2% and the >=3-sigma blob passes wholesale.
+        w = u if s["label"] else v
+        proj = feats @ w
+        other = feats @ (v if s["label"] else u)
+        excess = (proj > 2.5).mean() - (other > 2.5).mean()
+        assert 0.08 <= excess <= 0.55
+        # 8-sigma cores only on the label direction
+        assert proj.max() > 6.0
+        assert (other > 5.0).sum() == 0
+        # core instances above the bulk
+        assert proj.max() > 6.0
+    # H5 written in the reference schema
+    assert os.path.exists(
+        str(tmp_path) + "/data/patch_feats_pretrain_medical_ssl.h5")
