@@ -49,6 +49,7 @@ def test_build_confounder_prototypes_shape():
     assert np.isfinite(protos).all()
 
 
+@pytest.mark.slow  # full two-phase CLI drive; kmeans units stay fast
 def test_ibmil_two_phase(tmp_path, tiny_conf, monkeypatch):
     """phase1 train → IBMIL_clustering.py → phase2 with --c_path."""
     from acmil_tpu.cli.train import run_training

@@ -101,9 +101,12 @@ def test_grads_finite_on_zero_padded_bags(arch, tiny_conf):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-@pytest.mark.parametrize("arch", ["clam_sb", "clam_mb", "dsmil", "transmil",
-                                  "meanmil", "dtfd", "ibmil", "bmil_spvis",
-                                  "ilra", "mhim", "lbmil", "ips"])
+@pytest.mark.parametrize("arch", [
+    "clam_sb", "clam_mb", "dsmil",
+    pytest.param("transmil", marks=pytest.mark.slow),   # 45s+: Nystrom
+    "meanmil", "dtfd", "ibmil", "bmil_spvis", "ilra",
+    pytest.param("mhim", marks=pytest.mark.slow),       # 110s: EMA 2-model
+    "lbmil", "ips"])
 def test_overfit_one_batch(arch, tiny_conf):
     tiny_conf.arch = arch
     tiny_conf.lr = 1e-3

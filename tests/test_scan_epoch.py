@@ -114,6 +114,7 @@ def test_evaluate_scanned_matches_evaluate(tiny_conf, synthetic_slides):
                                    err_msg=k)
 
 
+@pytest.mark.slow  # heaviest fast-lane test (r5 item 8): 2-model EMA scan
 def test_scan_train_matches_loop_mhim(tiny_conf, synthetic_slides):
     """MHIM's custom EMA step participates via make_step_body — the scan
     must reproduce the loop's params AND teacher EMA params."""
@@ -148,6 +149,7 @@ def test_scan_train_matches_loop_mhim(tiny_conf, synthetic_slides):
                                    rtol=5e-4, atol=1e-3, err_msg=attr)
 
 
+@pytest.mark.slow  # mesh variant; the single-device scan smoke stays fast
 def test_mesh_scan_epoch_matches_mesh_loop(tiny_conf, synthetic_slides):
     """VERDICT r2 item 1b: scan epochs over a data-parallel mesh — one
     dispatch per sharded shape group — reproduce the per-batch mesh loop's
@@ -202,6 +204,7 @@ def test_device_groups_mesh_batch_divisibility(tiny_conf, synthetic_slides):
         loader.device_groups()
 
 
+@pytest.mark.slow
 def test_interleaved_scan_matches_unchunked(tiny_conf, synthetic_slides):
     """scan_interleave chunks each group's visit order but must apply the
     exact same per-bag updates: with shuffle off the realized visit order
