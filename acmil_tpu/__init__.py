@@ -37,25 +37,41 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         _suffix = _plat
         import hashlib as _hashlib
 
+        _id = ""
         try:
-            # hash the whole first cpuinfo stanza (minus per-boot noise):
-            # LLVM tuning features (+prefer-no-gather/-scatter etc.) are
-            # derived from the CPU MODEL, not the flag set, so two hosts
-            # with identical flags can still produce incompatible AOT
-            # entries (observed across a VM migration, r4). Hashing the
-            # stanza wholesale stays architecture-agnostic (ARM cpuinfo
-            # has 'CPU part'/'Features' instead of x86's keys).
+            # primary identity: CPUID executed in-process (csrc
+            # sio_cpu_identity) — /proc/cpuinfo is a boot-time snapshot
+            # that survives VM live-migrations unchanged while LLVM
+            # re-detects features via CPUID, so cpuinfo alone cannot
+            # segregate incompatible XLA:CPU AOT entries (SIGILL/SIGABRT
+            # hazard, observed r4/r5). Load-only: never BUILDS the lib at
+            # import (wsi.native owns rebuilds).
+            import ctypes as _C
+            _so = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "csrc", "libslideio.so")
+            if _os.path.exists(_so):
+                _lib = _C.CDLL(_so)
+                _buf = _C.create_string_buffer(512)
+                if _lib.sio_cpu_identity(_buf, 512) > 0:
+                    _id += _buf.value.decode("ascii", "ignore")
+        except Exception:
+            pass
+        try:
+            # plus the first cpuinfo stanza (minus per-boot noise) —
+            # architecture-agnostic fallback (ARM has 'CPU part'/
+            # 'Features' instead of x86's keys) and a second signal on
+            # hosts where the .so is absent or stale
             _volatile = ("cpu mhz", "bogomips")
             with open("/proc/cpuinfo") as _f:
-                _id = ""
                 for _l in _f:
                     if _l.strip() == "":
                         break  # first core only — all cores identical
                     if not _l.lower().startswith(_volatile):
                         _id += _l
-            _suffix += "-" + _hashlib.sha1(_id.encode()).hexdigest()[:8]
         except OSError:
             pass
+        if _id:
+            _suffix += "-" + _hashlib.sha1(_id.encode()).hexdigest()[:8]
         _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
                                "acmil_tpu", f"xla-{_suffix}")
         _os.makedirs(_cache, exist_ok=True)

@@ -633,6 +633,44 @@ static bool ends_with(const std::string &s, const std::string &suf) {
 
 extern "C" {
 
+// Runtime CPU identity for the XLA:CPU AOT-cache fingerprint
+// (acmil_tpu/__init__.py). /proc/cpuinfo is a boot-time snapshot: after
+// a VM live-migration the kernel keeps reporting the old host's flags
+// while LLVM re-detects features via CPUID at JIT/AOT time, so stale
+// cache entries can SIGILL/SIGABRT (observed r4/r5). Executing CPUID
+// here sees exactly what LLVM sees. Returns bytes written, or 0 on
+// non-x86 builds (caller falls back to the cpuinfo hash alone).
+int32_t sio_cpu_identity(char *out, int32_t cap) {
+#if defined(__x86_64__) || defined(__i386__)
+  uint32_t regs[4];
+  std::string s;
+  auto leaf = [&](uint32_t eax, uint32_t ecx) {
+    __asm__ volatile("cpuid"
+                     : "=a"(regs[0]), "=b"(regs[1]), "=c"(regs[2]),
+                       "=d"(regs[3])
+                     : "a"(eax), "c"(ecx));
+    char buf[64];
+    snprintf(buf, sizeof buf, "%08x.%08x.%08x.%08x;", regs[0], regs[1],
+             regs[2], regs[3]);
+    s += buf;
+  };
+  leaf(0, 0);           // vendor
+  leaf(1, 0);           // family/model/stepping + base features
+  leaf(7, 0);           // AVX2/AVX-512/AMX feature words
+  leaf(7, 1);           // AVX-VNNI / AMX-FP16 extensions
+  leaf(0x0d, 1);        // XSAVE features (AMX state)
+  leaf(0x80000001u, 0); // extended features
+  int32_t n = (int32_t)std::min<size_t>(s.size(), (size_t)cap - 1);
+  memcpy(out, s.data(), n);
+  out[n] = '\0';
+  return n;
+#else
+  (void)out;
+  (void)cap;
+  return 0;
+#endif
+}
+
 void *sio_open(const char *path) {
   std::string p(path);
   std::string lower = p;

@@ -216,7 +216,10 @@ class DTFDFamily(Family):
                       "num_group": model.num_group,
                       "instance_per_group": model.instance_per_group,
                       "distill": model.distill,
-                      "droprate": model.droprate}
+                      # eval is deterministic — dropout is inert on both
+                      # paths, so the fused kernel stays valid at any
+                      # droprate (the train gate checks the real value)
+                      "droprate": 0.0}
             if self._fused_ok(params, bag, conf_d):
                 from acmil_tpu.models import fast
 

@@ -107,12 +107,17 @@ class SAttentionEncoder(nn.Module):
     pos: str = "ppeg"
     dtype: jnp.dtype = jnp.float32
     # 'wrap': strict reference numerics for serving imported torch
-    # checkpoints — the sequence stays unpadded through the TransLayers
-    # (Nystrom front-pads attend as real rows, `nystrom_attention.py:73`)
-    # and the PPEG grid is padded by wrapping the sequence
-    # (`modules/emb_position.py:18-25`), assuming a full mask like the
-    # reference (which never pads bags). Default 'zero' keeps the
-    # mask-correct TPU behaviour.
+    # checkpoints — Nystrom front-pads attend as real rows
+    # (`nystrom_attention.py:73`) and the PPEG grid is filled by
+    # wrapping the sequence (`modules/emb_position.py:18-25`) modulo the
+    # per-bag valid count, windowed to the reference's ⌈√nv⌉² grid like
+    # TransMIL's wrap branch. Reference-EXACT at natural length (the
+    # reference never pads bags); under bucket padding it stays
+    # mask-correct (garbage in padded slots is inert) but the Nystrom
+    # landmark segmentation follows the bucket length, so logits drift
+    # from natural-length serving — serve imported checkpoints at small
+    # min_bucket when exactness matters. Default 'zero' keeps the
+    # TPU-first masked-zero behaviour.
     pad_mode: str = "zero"
 
     @nn.compact
@@ -120,6 +125,11 @@ class SAttentionEncoder(nn.Module):
                  return_attn: bool = False):
         b, n, _ = x.shape
         strict = self.pad_mode == "wrap"
+        if strict and self.pos != "ppeg":
+            raise ValueError(
+                "pad_mode='wrap' implements the reference's PPEG grid "
+                "wrapping only; use pad_mode='zero' with pos="
+                f"{self.pos!r}")
         gh, gw = _grid_shape(n, square=strict)
         grid_n = gh * gw
         if mask is None:
@@ -152,15 +162,31 @@ class SAttentionEncoder(nn.Module):
         if self.pos == "ppeg" and strict:
             # reference PPEG grid handling (`emb_position.py:12-39`): wrap
             # the body to the square grid, zero-fill up to 7x7 if smaller,
-            # conv, truncate back to n; cls stays untouched
-            body = h[:, 1:]
-            if grid_n > n:
-                body = jnp.concatenate([body, body[:, :grid_n - n]], axis=1)
+            # conv, truncate back to n; cls stays untouched. Like
+            # TransMIL's wrap branch, the wrap runs modulo the per-bag
+            # VALID count (collated bags are valid-prefix), so a
+            # bucket-padded bag duplicates its leading valid patches the
+            # way the reference's torch.cat does at natural length —
+            # NOT its zero pad slots (code-review r5). Exactly the
+            # reference when n == n_valid; pad slots are re-zeroed after
+            # the conv so they stay inert.
+            nv = jnp.maximum(mask.sum(-1).astype(jnp.int32), 1)      # [B]
+            j = jnp.arange(grid_n)[None, :]                          # [1,g]
+            idx = j % nv[:, None]                                    # [B,g]
+            body = jnp.take_along_axis(h[:, 1:], idx[..., None], axis=1)
+            # wrap only up to the reference's per-bag ⌈√nv⌉² window and
+            # zero the bucket surplus, like TransMIL's wrap branch —
+            # otherwise bucket-padded bags over-duplicate and the convs
+            # bleed extra copies into real positions
+            ref_g = jnp.ceil(jnp.sqrt(nv.astype(jnp.float32))).astype(
+                jnp.int32)
+            ref_n = jnp.minimum(ref_g * ref_g, grid_n)               # [B]
+            body = body * (j < ref_n[:, None])[..., None].astype(body.dtype)
             if gh < 7:
                 body = jnp.pad(body, ((0, 0), (0, 49 - grid_n), (0, 0)))
                 gh = gw = 7
             hp = PPEG(self.dim)(jnp.concatenate([h[:, :1], body], 1), gh, gw)
-            h = jnp.concatenate([h[:, :1], hp[:, 1:1 + n]], axis=1)
+            h = rezero(jnp.concatenate([h[:, :1], hp[:, 1:1 + n]], axis=1))
         elif self.pos == "ppeg":
             h = rezero(PPEG(self.dim)(rezero(h), gh, gw))
         elif self.pos in ("peg", "sincos"):

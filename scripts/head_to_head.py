@@ -90,7 +90,10 @@ def make_data_spatial(work: str, n_slides: int = 140, d: int = 384,
       contiguous runs;
     - a smooth low-rank background field shared by neighbouring patches
       (8x8-cell latent), so local context carries information;
-    - ONE elliptical lesion blob per slide covering 4-12% of patches:
+    - ONE elliptical lesion blob per slide covering ``frac`` of the
+      patches (defaults 20-45% — Camelyon macro-metastases reach this
+      range, and the r5 sweep showed the torch heads need it to learn
+      within the reference's epoch budget):
       tumor direction u on positive slides, an equally-strong benign
       direction v (u.v=0) on negatives — presence of *an* outlier blob
       is uninformative, its TYPE must be classified (so DSMIL's
@@ -585,10 +588,11 @@ def main():
         with open(log) as f:
             prior = [json.loads(l) for l in f if l.strip()]
     done = {(r["recipe"], r["seed"], r["framework"], r.get("epochs"),
-             r.get("lr", 1e-4) or 1e-4)
+             r.get("lr", 1e-4) or 1e-4, r.get("task", "default"))
             for r in prior}
     results = [r for r in prior if r.get("epochs") == args.epochs
-               and (r.get("lr", 1e-4) or 1e-4) == args.lr]
+               and (r.get("lr", 1e-4) or 1e-4) == args.lr
+               and r.get("task", "default") == args.task]
 
     def record(r):
         results.append(r)
@@ -599,13 +603,14 @@ def main():
     for recipe in args.recipes.split(","):
         for seed in seeds:
             if (recipe, seed, "torch-reference", args.epochs,
-                    args.lr) not in done:
+                    args.lr, args.task) not in done:
                 ref = run_reference(work, cfg, recipe, seed)
                 ref.update(recipe=recipe, seed=seed, epochs=args.epochs,
                            lr=args.lr, task=args.task,
                            framework="torch-reference")
                 record(ref)
-            if (recipe, seed, "acmil_tpu", args.epochs, args.lr) not in done:
+            if (recipe, seed, "acmil_tpu", args.epochs, args.lr,
+                    args.task) not in done:
                 ours = run_ours(work, cfg, recipe, seed,
                                 platform=args.ours_platform)
                 ours.update(recipe=recipe, seed=seed, epochs=args.epochs,

@@ -56,10 +56,9 @@ def _softmax(x):
 
 
 def _stub_torchvision():
-    tv = sys.modules.setdefault("torchvision",
-                                types.ModuleType("torchvision"))
-    if not hasattr(tv, "transforms"):
-        tv.transforms = types.ModuleType("torchvision.transforms")
+    from _stubs import stub_torchvision
+
+    stub_torchvision()
 
 
 def _stub_clam_utils():

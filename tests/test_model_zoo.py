@@ -174,3 +174,40 @@ def test_transmil_bf16_matches_f32(tiny_conf):
     out16 = m16.apply(v, feats, mask, deterministic=True)
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                rtol=0.1, atol=0.05)
+
+
+def test_mhim_wrap_mode_padded_bags_stay_mask_correct():
+    """pad_mode='wrap' serves imported torch checkpoints with
+    reference-exact numerics at natural length; under bucket padding it
+    must still honour the mask invariant — the PPEG wrap runs modulo the
+    per-bag VALID count (duplicating leading valid patches like the
+    reference's torch.cat), never reading pad slots (code-review r5)."""
+    from acmil_tpu.models.mhim import MHIM
+
+    n, nb, d, dim = 200, 256, 32, 64
+    fm = MHIM(n_class=2, mlp_dim=dim, baseline="selfattn", act="relu",
+              droprate=0.0, pad_mode="wrap")
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, n, d).astype(np.float32)
+    params = fm.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                     jnp.ones((1, n), bool))["params"]
+
+    xp = np.zeros((1, nb, d), np.float32)
+    xp[:, :n] = x
+    mk = np.zeros((1, nb), bool)
+    mk[:, :n] = True
+    pad = fm.apply({"params": params}, jnp.asarray(xp), jnp.asarray(mk),
+                   deterministic=True)["logits"]
+    xg = xp.copy()
+    xg[:, n:] = 37.0                       # garbage in masked slots
+    gar = fm.apply({"params": params}, jnp.asarray(xg), jnp.asarray(mk),
+                   deterministic=True)["logits"]
+    np.testing.assert_array_equal(np.asarray(pad), np.asarray(gar))
+
+    # wrap + non-ppeg positional embeddings are rejected, not silently
+    # mis-shaped
+    from acmil_tpu.models.mhim import SAttentionEncoder
+    enc = SAttentionEncoder(dim, pos="peg", pad_mode="wrap")
+    with pytest.raises(ValueError, match="wrap"):
+        enc.init({"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, n, dim), jnp.float32))

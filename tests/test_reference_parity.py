@@ -518,10 +518,9 @@ def test_bmil_vis_parity(bag, monkeypatch):
     # ``from torchvision import transforms`` at module level but never
     # uses it on this path — stub both names so the test passes in
     # isolation (the dsmil test above stubs the bare module already)
-    tv = sys.modules.setdefault("torchvision",
-                                types.ModuleType("torchvision"))
-    if not hasattr(tv, "transforms"):
-        tv.transforms = types.ModuleType("torchvision.transforms")
+    from _stubs import stub_torchvision
+
+    stub_torchvision()
     from architecture.bmil import probabilistic_MIL_Bayes_vis
 
     import jax
