@@ -13,9 +13,17 @@ import types
 
 
 def stub_torchvision():
-    """Provide ``torchvision`` and ``torchvision.transforms`` names."""
+    """Provide ``torchvision`` plus the ``transforms``/``models``
+    submodules reference files import (`utils/utils.py:9`,
+    `architecture/attmil.py:4` — neither is used on tested paths).
+    Submodules register in sys.modules too: a bare parent stub left by
+    an earlier test would otherwise break ``import torchvision.models``
+    (full-suite ordering, r5)."""
     tv = sys.modules.setdefault("torchvision",
                                 types.ModuleType("torchvision"))
-    if not hasattr(tv, "transforms"):
-        tv.transforms = types.ModuleType("torchvision.transforms")
+    for sub in ("transforms", "models"):
+        name = f"torchvision.{sub}"
+        mod = sys.modules.setdefault(name, types.ModuleType(name))
+        if not hasattr(tv, sub):
+            setattr(tv, sub, mod)
     return tv

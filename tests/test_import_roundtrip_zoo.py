@@ -213,6 +213,7 @@ def _case_ilra():
 
 
 def _case_attmil():
+    _stub_torchvision()   # attmil.py imports torchvision.models
     from architecture.attmil import DAttention
 
     tm = DAttention(n_classes=2, dropout=False, act="relu")
@@ -225,6 +226,7 @@ def _case_attmil():
 
 
 def _case_attmil_gated():
+    _stub_torchvision()
     from architecture.attmil import AttentionGated
 
     tm = AttentionGated(act="relu", bias=False, dropout=False)
