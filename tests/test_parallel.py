@@ -199,3 +199,45 @@ def test_loader_with_mesh(tmp_path, tiny_conf):
         # ragged batches are padded to the full device batch
         assert bag.feats.shape[0] == 4
         assert bag.feats.sharding.spec[0] == "data"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", _zoo_archs())
+def test_zoo_eval_on_mesh_matches_single_device(tiny_conf, arch):
+    """Eval counterpart of the zoo train-step test: every arch's
+    make_eval_step probabilities on the dp=4 mesh (the cli evaluate path
+    with --mesh_data) must equal the single-device probabilities — the
+    fused-kernel routes all gate themselves off under a mesh, so this
+    pins the model.apply fallback they take."""
+    from acmil_tpu.engine import get_family
+    from acmil_tpu.engine.train import make_eval_step
+
+    conf = tiny_conf
+    conf.arch = arch
+    for k, v in _ZOO_MESH_OVERRIDES.get(arch, {}).items():
+        if k == "fused_train":
+            conf.extra[k] = v
+        else:
+            setattr(conf, k, v)
+    model, fam = build_mil_model(conf)
+    fam = get_family(fam)
+    rs = np.random.RandomState(11)
+    bag = _bag(rs, b=8, n=128)
+    bag = Bag(feats=bag.feats, mask=bag.mask,
+              coords=jnp.asarray(_unique_cell_coords(8, 128)),
+              label=bag.label)
+    rng = jax.random.PRNGKey(6)
+
+    state = create_train_state(model, conf, rng, bag, 10, family=fam)
+    p1 = np.asarray(make_eval_step(model, fam)(state.params, bag))
+
+    mesh = make_mesh(data=4, seq=1)
+    with mesh:
+        state2 = create_train_state(model, conf, rng, bag, 10, family=fam)
+        state2 = shard_params(state2, mesh)
+        bag2 = shard_bag(bag, mesh, shard_seq=False)
+        p2 = np.asarray(make_eval_step(model, fam, mesh=mesh)(
+            state2.params, bag2))
+
+    assert p1.shape == (8, conf.n_class)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
