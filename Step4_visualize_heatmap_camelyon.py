@@ -55,6 +55,14 @@ def main():
     feat_path = os.path.join(conf.data_dir,
                              f"patch_feats_pretrain_{conf.pretrain}.h5")
     _, _, test_src = build_hdf5_feat_dataset(feat_path, conf)
+    if len(test_src.names) == 0:
+        raise SystemExit(
+            f"Step4: the test split is empty — no "
+            f"'{conf.split_dir}/{conf.dataset}/split_{conf.seed}.json' was "
+            "found and the random-split fallback assigns no test slides. "
+            "Pass the --seed used for training so the same frozen split "
+            "file is loaded."
+        )
 
     rng = jax.random.PRNGKey(conf.seed)
     item0 = test_src[0]

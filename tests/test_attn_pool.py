@@ -4,6 +4,7 @@ and vs the flax models."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from acmil_tpu.models.acmil import ABMIL, ACMIL_GA
 from acmil_tpu.models.fast import abmil_infer, acmil_ga_infer
@@ -433,6 +434,7 @@ def test_derive_stkim_rng_matches_flax():
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow  # STKIM-on variant; the STKIM-off step equivalence stays fast
 def test_fused_train_step_matches_unfused_stkim_on():
     """VERDICT r2 item 2: the flagship recipe (STKIM on) now runs fused;
     loss and gradients must match model.apply with the same rng."""
@@ -670,6 +672,7 @@ def _clam_fused_case(arch, fused):
     return (float(loss), jax.tree_util.tree_leaves(grads), ev, bag)
 
 
+@pytest.mark.slow  # family-routed fused step; kernel-level CLAM equality stays fast
 def test_clam_fused_train_step_matches_unfused():
     """CLAMFamily fused_train (droprate 0): loss incl. the instance
     clustering term and all gradients equal model.apply — SB (masked
@@ -750,6 +753,7 @@ def _dtfd_fused_case(fused, distill="MaxMinS"):
     return (float(loss), jax.tree_util.tree_leaves(grads), ev)
 
 
+@pytest.mark.slow  # family-routed fused step; kernel-level DTFD equality stays fast
 def test_dtfd_fused_train_step_matches_unfused():
     """DTFDFamily fused routing (models/fast.py::dtfd_apply_fused):
     pseudo-bag grouping is bit-identical (flax-derived stkim rng), and

@@ -30,6 +30,7 @@ def test_deepzoom_generator():
     assert t3.shape[2] == 3
 
 
+@pytest.mark.slow  # script-level Step2 drive (r5 item 8: fast-lane trim)
 def test_step2_roi_mode(tmp_path, monkeypatch):
     import cv2
 
@@ -55,6 +56,7 @@ def test_step2_roi_mode(tmp_path, monkeypatch):
     assert np.isfinite(cents).all()
 
 
+@pytest.mark.slow  # full MHIM schedule sweep; the engine-level MHIM step stays fast
 def test_mhim_schedules_step(tiny_conf):
     import jax
     import jax.numpy as jnp

@@ -78,7 +78,10 @@ def test_is_better_selection_f1_micro():
         is_better(cur, best, "weighted")
 
 
-@pytest.mark.parametrize("arch", ["ga", "abmil"])
+@pytest.mark.parametrize(
+    "arch",
+    [pytest.param("ga", marks=pytest.mark.slow), "abmil"],  # abmil = fast smoke
+)
 def test_end_to_end_training(tmp_path, tiny_conf, arch):
     """The minimum end-to-end slice: bags → model → jit train → AUC."""
     slides = make_synthetic_bags(n_slides=40, d=32, seed=7)
@@ -121,6 +124,7 @@ def test_classification_metrics_keys():
     assert m["acc"] == 1.0 and m["auc"] == 1.0 and m["f1"] == 1.0
 
 
+@pytest.mark.slow  # full MHIM step build; guards a constant, rarely regresses
 def test_mhim_step_uses_reference_teacher_temperature():
     """The MHIM step must sharpen the teacher's soft targets with
     temp_t=0.1 (the reference CLI default,

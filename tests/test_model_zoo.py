@@ -158,6 +158,7 @@ def test_dsmil_outputs(tiny_conf):
     assert attn.shape == (2, 2, 64)
 
 
+@pytest.mark.slow  # dual-precision TransMIL compile; f32 forward coverage stays fast
 def test_transmil_bf16_matches_f32(tiny_conf):
     """The bf16 inference path must track f32 logits closely."""
     import jax.numpy as jnp

@@ -4,6 +4,7 @@ approximation quality against exact attention."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from acmil_tpu.ops.nystrom import depthwise_seq_conv, newton_schulz_pinv, nystrom_attention
 
@@ -92,6 +93,7 @@ def test_depthwise_seq_conv_shape():
                                rtol=1e-5)
 
 
+@pytest.mark.slow  # 8-device shard_map equivalence; core Nystrom units stay fast
 def test_sharded_nystrom_matches_single_device():
     """Sequence-sharded Nystrom must equal the single-device op (nothing
     approximated: landmark stats all-gather, attn3 uses global max/sum)."""

@@ -79,6 +79,7 @@ def test_acmil_on_mesh(tiny_conf):
         assert float(aux["loss"]) < first
 
 
+@pytest.mark.slow  # fused-on-mesh variant; the dp equivalence smoke stays fast
 def test_mesh_fused_matches_unfused(tiny_conf):
     """VERDICT r2 item 1a: mesh training through the sharded fused kernel
     produces the same loss/gradients/updates as the unfused mesh graph
