@@ -121,6 +121,11 @@ def main():
     p.add_argument("--mesh_data", type=int, default=None,
                    help="shard extraction batches over N devices "
                         "(shard_map over the batch axis; 0 = single chip)")
+    p.add_argument("--mesh_model", type=int, default=None,
+                   help="tensor-parallel degree for the trunk: shard "
+                        "attention heads + MLP hidden over N devices "
+                        "(Megatron TP, ViT trunks only; composes with "
+                        "--mesh_data as a (data, model) mesh)")
     args = p.parse_args()
 
     overrides = {k: v for k, v in vars(args).items() if v is not None}
@@ -129,6 +134,7 @@ def main():
     conf.resolve_dims()
     batch_size = int(getattr(conf, "batch_size", 0) or 256)
     mesh_data = int(getattr(conf, "mesh_data", 0) or 0)
+    mesh_model = int(getattr(conf, "mesh_model", 0) or 0)
 
     import jax
 
@@ -177,12 +183,22 @@ def main():
 
     from acmil_tpu.models.encoders.build import encoder_feature_fn
 
-    mesh = None
-    if mesh_data:
-        from acmil_tpu.parallel import make_mesh
+    if mesh_model > 1:
+        # Megatron TP for the trunk (GigaPath/UNI class): heads + MLP
+        # hidden sharded 1/tp per chip, two activation all-reduces per
+        # layer over the innermost ('model') ICI axis; composes with
+        # data parallelism on the outer axis (parallel/tp.py)
+        from acmil_tpu.parallel.tp import make_tp_mesh, tp_encoder_feature_fn
 
-        mesh = make_mesh(data=mesh_data, seq=1)
-    embed = encoder_feature_fn(model, variables, spec, mesh=mesh)  # shared jit
+        mesh = make_tp_mesh(data=max(mesh_data, 1), model=mesh_model)
+        embed = tp_encoder_feature_fn(model, variables, spec, mesh)
+    else:
+        mesh = None
+        if mesh_data:
+            from acmil_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=mesh_data, seq=1)
+        embed = encoder_feature_fn(model, variables, spec, mesh=mesh)  # shared jit
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir,
                             f"patch_feats_pretrain_{conf.pretrain}.h5")

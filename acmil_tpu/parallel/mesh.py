@@ -114,7 +114,7 @@ def shard_bag(bag, mesh: Mesh, shard_seq: bool = False):
 
 def shard_params(tree, mesh: Mesh):
     """Replicate a parameter/opt-state pytree over the mesh. MIL heads are
-    tiny (≤ a few MB), so replication beats TP; encoder TP comes with the
-    Step2 engine."""
+    tiny (≤ a few MB), so replication beats TP; encoder TP lives in
+    :mod:`acmil_tpu.parallel.tp` (Step2 ``--mesh_model``)."""
     rep = replicated(mesh)
     return jax.device_put(tree, rep)

@@ -141,3 +141,54 @@ def test_step4_heatmap_script(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     pngs = [f for f in os.listdir(out_dir)] if os.path.isdir(out_dir) else []
     assert any(f.startswith(test_name) for f in pngs), (pngs, r.stdout[-500:])
+
+
+def test_step2_tensor_parallel_cli(tmp_path, slide_dir, monkeypatch):
+    """Step2 with --mesh_model: the tensor-parallel trunk path, driven at
+    CLI level on the virtual (data=2, model=4) mesh with an injected
+    tiny-ViT encoder spec; features must match the single-device run."""
+    import Step1_create_patches_fp as s1
+    import Step2_feature_extract as s2
+    from acmil_tpu.models.encoders import build as B
+    from acmil_tpu.models.encoders.vit import ViT
+
+    save_dir = str(tmp_path / "step1")
+    monkeypatch.setattr(sys, "argv", [
+        "Step1_create_patches_fp.py", "--source", slide_dir,
+        "--save_dir", save_dir, "--patch_size", "224", "--step_size", "224",
+        "--a_t", "1", "--a_h", "1"])
+    s1.main()
+
+    tiny = B.EncoderSpec(
+        lambda dt: ViT(32, 32, 2, 8, img_size=224, dtype=jnp_f32(dt)),
+        32, 224, B.HALF_MEAN, B.HALF_STD, "vit", depth=2)
+    monkeypatch.setitem(B.ENCODER_SPECS, ("medical_ssl", "tiny-vit"), tiny)
+
+    outs = {}
+    for tag, extra in [("single", []),
+                       ("tp", ["--mesh_model", "4", "--mesh_data", "2"])]:
+        out_dir = str(tmp_path / f"feats_{tag}")
+        monkeypatch.setattr(sys, "argv", [
+            "Step2_feature_extract.py", "--slide_dir", slide_dir,
+            "--coords_dir", os.path.join(save_dir, "patches"),
+            "--output_dir", out_dir, "--backbone", "tiny-vit",
+            "--pretrain", "medical_ssl", "--batch_size", "8"] + extra)
+        s2.main()
+        with h5py.File(os.path.join(
+                out_dir, "patch_feats_pretrain_medical_ssl.h5")) as f:
+            outs[tag] = {k: np.asarray(f[k]["feat"]) for k in f.keys()}
+
+    assert set(outs["tp"]) == set(outs["single"]) and outs["tp"]
+    for k in outs["tp"]:
+        assert outs["tp"][k].shape[1] == 32
+        np.testing.assert_allclose(
+            outs["tp"][k].astype(np.float32),
+            outs["single"][k].astype(np.float32), rtol=2e-2, atol=2e-3)
+
+
+def jnp_f32(dt):
+    """Step2 builds encoders in bf16; the tiny test trunk stays f32 so the
+    single-device and TP runs compare at full precision on CPU."""
+    import jax.numpy as jnp
+
+    return jnp.float32
